@@ -1,0 +1,179 @@
+"""Multi-head attention: dispatcher + XLA reference implementation.
+
+Replaces the reference's flash-attn CUDA kernel and xformers
+memory-efficient attention (``llama_flash_attn_monkey_patch.py``,
+``baichuan2_*/modeling_baichuan.py`` — SURVEY.md §2.9) with:
+
+  * :func:`flash_attention` — a Pallas TPU kernel
+    (:mod:`merlin_tpu.ops.flash_attention`) for the training/prefill hot
+    path: causal or bidirectional, packed-sequence segment ids (the
+    reference packs merge_round pairs into one 2048-token sequence), and
+    in-kernel ALiBi (Baichuan-13B family) so no O(s^2) bias is ever
+    materialized.
+  * :func:`mha_reference` — a pure-XLA implementation used on CPU/GPU
+    backends, in tests, and as the recompute path for gradients.
+
+Layout convention throughout the framework: ``(batch, seq, heads, head_dim)``.
+GQA is supported (num_kv_heads divides num_heads).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _build_mask(
+    q_len: int,
+    kv_len: int,
+    *,
+    causal: bool,
+    q_offset,
+    segment_ids_q: Optional[jax.Array],
+    segment_ids_kv: Optional[jax.Array],
+    batch: int,
+) -> Optional[jax.Array]:
+    """Boolean (b, 1, q, k) mask; True = attend."""
+    mask = None
+    if causal:
+        q_pos = q_offset + jnp.arange(q_len)[:, None]
+        k_pos = jnp.arange(kv_len)[None, :]
+        mask = (k_pos <= q_pos)[None, None]  # (1,1,q,k)
+        mask = jnp.broadcast_to(mask, (batch, 1, q_len, kv_len))
+    if segment_ids_q is not None:
+        seg = (segment_ids_q[:, :, None] == segment_ids_kv[:, None, :])[:, None]
+        mask = seg if mask is None else (mask & seg)
+    return mask
+
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    segment_ids_q: Optional[jax.Array] = None,
+    segment_ids_kv: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    q_offset=0,
+) -> jax.Array:
+    """Pure-XLA attention. q: (b, sq, h, d); k/v: (b, skv, hkv, d).
+
+    ``q_offset`` shifts query positions for decode steps against a longer
+    KV cache. ``alibi_slopes``: (h,) per-head slopes; bias =
+    slope * (k_pos - q_pos), the standard ALiBi causal form.
+    Softmax in float32 regardless of input dtype.
+    """
+    b, sq, h, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    if hkv != h:
+        assert h % hkv == 0, (h, hkv)
+        k = jnp.repeat(k, h // hkv, axis=2)
+        v = jnp.repeat(v, h // hkv, axis=2)
+
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+
+    if alibi_slopes is not None:
+        q_pos = q_offset + jnp.arange(sq)
+        k_pos = jnp.arange(skv)
+        dist = k_pos[None, :] - q_pos[:, None]  # (q, k) <= 0 in causal region
+        logits = logits + alibi_slopes[None, :, None, None] * dist[None, None]
+
+    mask = _build_mask(
+        sq, skv, causal=causal, q_offset=q_offset,
+        segment_ids_q=segment_ids_q, segment_ids_kv=segment_ids_kv, batch=b,
+    )
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), size
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "use_flash", "block_q", "block_k"),
+)
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    segment_ids_q: Optional[jax.Array] = None,
+    segment_ids_kv: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    use_flash: bool = True,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jax.Array:
+    """Attention dispatcher: Pallas flash kernel on TPU, XLA elsewhere.
+
+    Self-attention only (q_offset=0). For decode-step attention against a
+    KV cache use :mod:`merlin_tpu.generate.decode`, which keeps the whole
+    step in one jitted scan.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    sq, skv = q.shape[1], k.shape[1]
+    d = q.shape[-1]
+    # Flash pays off above one block; tiny sequences run on XLA directly.
+    if not (use_flash and on_tpu and sq >= 128 and d <= 256):
+        return mha_reference(
+            q, k, v, causal=causal,
+            segment_ids_q=segment_ids_q, segment_ids_kv=segment_ids_kv,
+            alibi_slopes=alibi_slopes, scale=scale,
+        )
+
+    from merlin_tpu.ops.flash_attention import flash_attention
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    qp, orig_sq = _pad_to(q, 1, block_q)
+    kp, orig_sk = _pad_to(k, 1, block_k)
+    vp, _ = _pad_to(v, 1, block_k)
+    if segment_ids_q is None and (qp.shape[1] != sq or kp.shape[1] != skv):
+        # Padding keys must not be attended to: give real tokens segment 1,
+        # padding segment 0 via explicit ids.
+        segment_ids_q = jnp.ones((q.shape[0], sq), jnp.int32)
+        segment_ids_kv = jnp.ones((k.shape[0], skv), jnp.int32)
+    if segment_ids_q is not None:
+        sq_pad = jnp.zeros((qp.shape[0], qp.shape[1]), jnp.int32)
+        segment_ids_q = sq_pad.at[:, :orig_sq].set(segment_ids_q + 1)
+        sk_pad = jnp.full((kp.shape[0], kp.shape[1]), -1, jnp.int32)
+        segment_ids_kv = sk_pad.at[:, :orig_sk].set(segment_ids_kv + 1)
+
+    out = flash_attention(
+        qp, kp, vp,
+        segment_ids_q=segment_ids_q,
+        segment_ids_kv=segment_ids_kv,
+        alibi_slopes=alibi_slopes,
+        causal=causal,
+        scale=scale if scale is not None else d ** -0.5,
+        block_q=block_q,
+        block_k=block_k,
+    )
+    return out[:, :orig_sq]

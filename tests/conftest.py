@@ -7,12 +7,21 @@ sharding logic is exercised without TPU hardware. Must run before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment selects a TPU platform
+# (e.g. JAX_PLATFORMS=axon set by a sitecustomize hook that registers a
+# TPU plugin and overrides the env var): this suite is the deterministic
+# multi-device CPU tier; TPU-hardware tests live in tests/tpu/ and opt in
+# explicitly. jax.config.update wins over the plugin's env override.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

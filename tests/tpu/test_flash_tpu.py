@@ -1,0 +1,57 @@
+"""Flash-attention kernel parity tests. Run manually on TPU hardware:
+
+    JAX_PLATFORMS='' python -m pytest tests/tpu/ -q -p no:cacheprovider
+
+Skipped automatically under the CPU CI conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware")
+
+
+def _rand(shape, seed=0, dtype=jnp.float32):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape), dtype)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_matches_reference(causal):
+    from merlin_tpu.ops.attention import mha_reference
+    from merlin_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 2, 256, 4, 64
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+    ref = mha_reference(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_flash_segments_and_alibi():
+    from merlin_tpu.ops.attention import mha_reference
+    from merlin_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 2, 256, 4, 64
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+    seg = jnp.sort(jnp.asarray(
+        np.random.default_rng(3).integers(0, 3, size=(b, s)), jnp.int32), axis=1)
+    slopes = jnp.asarray([2.0 ** (-i) for i in range(h)], jnp.float32)
+    ref = mha_reference(q, k, v, causal=True, segment_ids_q=seg,
+                        segment_ids_kv=seg, alibi_slopes=slopes)
+    out = flash_attention(q, k, v, causal=True, segment_ids_q=seg,
+                          segment_ids_kv=seg, alibi_slopes=slopes,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_flash_padding_via_dispatcher():
+    from merlin_tpu.ops.attention import attention, mha_reference
+
+    b, s, h, d = 1, 300, 4, 64  # not a block multiple -> dispatcher pads
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+    ref = mha_reference(q, k, v, causal=True)
+    out = attention(q, k, v, causal=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
