@@ -1,0 +1,211 @@
+"""PyTorch (HF) checkpoint -> flax param-tree conversion.
+
+The reference loads HF `pytorch_model.bin` checkpoints (sharded or single)
+and re-extracts tower/projector weights by key prefix
+(clip_encoder.py:26-62, base_projector.py:12-48). Here, conversion maps HF
+state-dict keys into the :class:`merlin_tpu.models.decoder.CausalLM` /
+vision-tower param trees, reshaping 2D (out,in) kernels into the
+(in, heads, head_dim) einsum layouts the TPU models use.
+
+All functions take a ``state_dict``-like mapping of numpy arrays (use
+:func:`load_torch_state_dict` to read .bin/.safetensors without GPU torch).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+from merlin_tpu.models.decoder import DecoderConfig
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    try:  # torch tensor without importing torch at module scope
+        return x.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(x)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a single/sharded HF checkpoint directory or file into numpy."""
+    import json
+
+    def load_one(p):
+        if p.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            return load_file(p)
+        import torch
+        sd = torch.load(p, map_location="cpu", weights_only=True)
+        return {k: _np(v) for k, v in sd.items()}
+
+    if os.path.isfile(path):
+        return load_one(path)
+
+    out: Dict[str, np.ndarray] = {}
+    index_files = [f for f in os.listdir(path) if f.endswith(".index.json")]
+    if index_files:
+        with open(os.path.join(path, index_files[0])) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        for shard in shards:
+            out.update(load_one(os.path.join(path, shard)))
+        return out
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith((".bin", ".safetensors")) and "training_args" not in fname:
+            out.update(load_one(os.path.join(path, fname)))
+    return out
+
+
+def extract_by_prefix(state_dict: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Sub-dict of keys under ``prefix`` (reference composite-checkpoint
+    re-extraction, e.g. 'model.vision_tower.')."""
+    return {k[len(prefix):]: v for k, v in state_dict.items()
+            if k.startswith(prefix)}
+
+
+def _qkv_kernel(w: np.ndarray, heads: int, head_dim: int) -> np.ndarray:
+    """HF (out=h*d, in) -> (in, h, d)."""
+    out_dim, in_dim = w.shape
+    return w.T.reshape(in_dim, heads, head_dim)
+
+
+def _o_kernel(w: np.ndarray, heads: int, head_dim: int) -> np.ndarray:
+    """HF (out=hidden, in=h*d) -> (h, d, hidden)."""
+    out_dim, in_dim = w.shape
+    return w.T.reshape(heads, head_dim, out_dim)
+
+
+def decoder_params_from_hf(
+    state_dict: Mapping[str, Any],
+    cfg: DecoderConfig,
+    *,
+    family: str = "llama",
+) -> Dict[str, Any]:
+    """Map HF decoder weights -> CausalLM flax params dict.
+
+    Supported families: 'llama' (Vicuna/Llama), 'phi' (HF PhiForCausalLM),
+    'opt', 'baichuan' (W_pack fused QKV).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    h, hkv, d = cfg.num_heads, cfg.kv_heads, cfg.head_size
+    p: Dict[str, Any] = {}
+
+    def key(*cands):
+        for c in cands:
+            if c in sd:
+                return sd[c]
+        raise KeyError(f"none of {cands} in checkpoint (have {len(sd)} keys)")
+
+    if family == "opt":
+        base = "model.decoder."
+        p["embed_tokens"] = {"embedding": key(base + "embed_tokens.weight")}
+        p["embed_positions"] = {"embedding": key(base + "embed_positions.weight")}
+    else:
+        base = "model."
+        p["embed_tokens"] = {"embedding": key(base + "embed_tokens.weight",
+                                              "transformer.embed_tokens.weight")}
+
+    for i in range(cfg.num_layers):
+        lp: Dict[str, Any] = {}
+        if family == "llama":
+            lb = f"model.layers.{i}."
+            attn = {
+                "q_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.q_proj.weight"), h, d)},
+                "k_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.k_proj.weight"), hkv, d)},
+                "v_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.v_proj.weight"), hkv, d)},
+                "o_proj": {"kernel": _o_kernel(key(lb + "self_attn.o_proj.weight"), h, d)},
+            }
+            lp["attn"] = attn
+            lp["mlp"] = {
+                "gate_proj": {"kernel": key(lb + "mlp.gate_proj.weight").T},
+                "up_proj": {"kernel": key(lb + "mlp.up_proj.weight").T},
+                "down_proj": {"kernel": key(lb + "mlp.down_proj.weight").T},
+            }
+            lp["input_norm"] = {"scale": key(lb + "input_layernorm.weight")}
+            lp["post_attn_norm"] = {"scale": key(lb + "post_attention_layernorm.weight")}
+        elif family == "baichuan":
+            lb = f"model.layers.{i}."
+            wpack = key(lb + "self_attn.W_pack.weight")  # (3*hidden, hidden)
+            hd = h * d
+            wq, wk, wv = wpack[:hd], wpack[hd:2 * hd], wpack[2 * hd:]
+            lp["attn"] = {
+                "q_proj": {"kernel": _qkv_kernel(wq, h, d)},
+                "k_proj": {"kernel": _qkv_kernel(wk, hkv, d)},
+                "v_proj": {"kernel": _qkv_kernel(wv, hkv, d)},
+                "o_proj": {"kernel": _o_kernel(key(lb + "self_attn.o_proj.weight"), h, d)},
+            }
+            lp["mlp"] = {
+                "gate_proj": {"kernel": key(lb + "mlp.gate_proj.weight").T},
+                "up_proj": {"kernel": key(lb + "mlp.up_proj.weight").T},
+                "down_proj": {"kernel": key(lb + "mlp.down_proj.weight").T},
+            }
+            lp["input_norm"] = {"scale": key(lb + "input_layernorm.weight")}
+            lp["post_attn_norm"] = {"scale": key(lb + "post_attention_layernorm.weight")}
+        elif family == "phi":
+            lb = f"model.layers.{i}."
+            lp["attn"] = {
+                "q_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.q_proj.weight"), h, d),
+                           "bias": key(lb + "self_attn.q_proj.bias").reshape(h, d)},
+                "k_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.k_proj.weight"), hkv, d),
+                           "bias": key(lb + "self_attn.k_proj.bias").reshape(hkv, d)},
+                "v_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.v_proj.weight"), hkv, d),
+                           "bias": key(lb + "self_attn.v_proj.bias").reshape(hkv, d)},
+                "o_proj": {"kernel": _o_kernel(key(lb + "self_attn.dense.weight"), h, d),
+                           "bias": key(lb + "self_attn.dense.bias")},
+            }
+            lp["mlp"] = {
+                "fc1": {"kernel": key(lb + "mlp.fc1.weight").T,
+                        "bias": key(lb + "mlp.fc1.bias")},
+                "fc2": {"kernel": key(lb + "mlp.fc2.weight").T,
+                        "bias": key(lb + "mlp.fc2.bias")},
+            }
+            lp["input_norm"] = {"scale": key(lb + "input_layernorm.weight"),
+                                "bias": key(lb + "input_layernorm.bias")}
+        elif family == "opt":
+            lb = f"model.decoder.layers.{i}."
+            lp["attn"] = {
+                "q_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.q_proj.weight"), h, d),
+                           "bias": key(lb + "self_attn.q_proj.bias").reshape(h, d)},
+                "k_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.k_proj.weight"), hkv, d),
+                           "bias": key(lb + "self_attn.k_proj.bias").reshape(hkv, d)},
+                "v_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.v_proj.weight"), hkv, d),
+                           "bias": key(lb + "self_attn.v_proj.bias").reshape(hkv, d)},
+                "o_proj": {"kernel": _o_kernel(key(lb + "self_attn.out_proj.weight"), h, d),
+                           "bias": key(lb + "self_attn.out_proj.bias")},
+            }
+            lp["mlp"] = {
+                "fc1": {"kernel": key(lb + "fc1.weight").T, "bias": key(lb + "fc1.bias")},
+                "fc2": {"kernel": key(lb + "fc2.weight").T, "bias": key(lb + "fc2.bias")},
+            }
+            lp["input_norm"] = {"scale": key(lb + "self_attn_layer_norm.weight"),
+                                "bias": key(lb + "self_attn_layer_norm.bias")}
+            lp["post_attn_norm"] = {"scale": key(lb + "final_layer_norm.weight"),
+                                    "bias": key(lb + "final_layer_norm.bias")}
+        else:
+            raise ValueError(f"unknown family {family}")
+        p[f"layers_{i}"] = lp
+
+    # final norm
+    if family == "llama" or family == "baichuan":
+        p["final_norm"] = {"scale": key("model.norm.weight")}
+    elif family == "phi":
+        p["final_norm"] = {"scale": key("model.final_layernorm.weight"),
+                           "bias": key("model.final_layernorm.bias")}
+    elif family == "opt":
+        p["final_norm"] = {"scale": key("model.decoder.final_layer_norm.weight"),
+                           "bias": key("model.decoder.final_layer_norm.bias")}
+
+    # lm head
+    if not cfg.tie_word_embeddings:
+        w = key("lm_head.weight")
+        if cfg.normhead:
+            p["lm_head_kernel"] = w.T
+        else:
+            head = {"kernel": w.T}
+            if cfg.lm_head_bias:
+                head["bias"] = key("lm_head.bias")
+            p["lm_head"] = head
+    return p

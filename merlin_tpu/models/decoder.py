@@ -1,0 +1,324 @@
+"""Unified causal-decoder LM covering every reference model family.
+
+The reference vendors five near-identical HF-style decoder implementations
+(mmgpt/utils/baichuan_7b, baichuan_13b, baichuan2_7b, baichuan2_13b, phi2 —
+SURVEY.md §2.5) plus HF Llama and OPT. TPU-first redesign: ONE decoder
+parameterized by :class:`DecoderConfig` feature flags, so every family is a
+config, not a code fork, and XLA compiles one graph family:
+
+  family        | positional | norm | mlp      | block    | head
+  --------------|-----------|------|----------|----------|---------------
+  llama/vicuna  | rope      | rms  | gated    | serial   | plain
+  baichuan-7b   | rope      | rms  | gated    | serial   | plain
+  baichuan-13b  | alibi     | rms  | gated    | serial   | plain
+  baichuan2-7b  | rope      | rms  | gated    | serial   | NormHead+zloss
+  baichuan2-13b | alibi     | rms  | gated    | serial   | NormHead+zloss
+  phi-2         | rope(0.4) | ln   | gelu_new | parallel | bias, tied-no
+  opt           | learned   | ln   | relu     | serial   | tied
+
+Attention runs through :mod:`merlin_tpu.ops.attention` (Pallas flash on TPU).
+KV cache is an explicit functional pytree (see :func:`init_kv_cache`): the
+cache stores per-position segment/validity ids, so ragged right-padded
+prompts decode correctly with a single shared write index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from merlin_tpu.models.layers import (
+    DenseGeneral,
+    Embed,
+    GatedMLP,
+    LayerNorm,
+    RMSNorm,
+    SimpleMLP,
+    alibi_slopes,
+    apply_rope,
+)
+from merlin_tpu.ops.attention import attention as flash_or_xla_attention
+from merlin_tpu.ops.attention import mha_reference
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None     # None -> MHA
+    head_dim: Optional[int] = None         # None -> hidden/heads
+    max_position_embeddings: int = 2048
+
+    positional: str = "rope"               # rope | alibi | learned
+    rope_theta: float = 10000.0
+    rope_linear_scale: float = 1.0         # position interpolation (ctx stretch)
+    partial_rotary_factor: float = 1.0     # phi-2: 0.4
+    attention_bias: bool = False           # phi-2/opt: True
+
+    norm: str = "rms"                      # rms | ln
+    norm_eps: float = 1e-6
+    mlp: str = "gated"                     # gated | gelu_new | relu
+    parallel_block: bool = False           # phi-2: attn+mlp share the residual
+    final_norm: bool = True
+
+    tie_word_embeddings: bool = False
+    lm_head_bias: bool = False             # phi-2: True
+    normhead: bool = False                 # baichuan2: L2-normalized lm_head
+    z_loss_weight: float = 0.0             # baichuan2: logsumexp^2 penalty
+
+    dtype: Any = jnp.bfloat16
+    remat: bool = False                    # gradient checkpoint each layer
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def head_size(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    def norm_layer(self, name):
+        if self.norm == "rms":
+            return RMSNorm(eps=self.norm_eps, dtype=self.dtype, name=name)
+        return LayerNorm(eps=self.norm_eps, dtype=self.dtype, name=name)
+
+
+def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Functional KV cache pytree.
+
+    ``seg`` carries validity/segment ids per cached position (0 = empty);
+    ``index`` is the shared write cursor.
+    """
+    layer = lambda: {
+        "k": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_size), dtype),
+        "v": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_size), dtype),
+    }
+    return {
+        "layers": tuple(layer() for _ in range(cfg.num_layers)),
+        "seg": jnp.zeros((batch, max_len), jnp.int32),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+class Attention(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, positions, segment_ids, layer_cache, cache_seg,
+                 cache_index):
+        cfg = self.cfg
+        h, hkv, d = cfg.num_heads, cfg.kv_heads, cfg.head_size
+        bias = cfg.attention_bias
+
+        q = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
+                         use_bias=bias, dtype=cfg.dtype, name="q_proj")(x)
+        k = DenseGeneral((hkv, d), kernel_axes=("embed", "heads", "kv"),
+                         use_bias=bias, dtype=cfg.dtype, name="k_proj")(x)
+        v = DenseGeneral((hkv, d), kernel_axes=("embed", "heads", "kv"),
+                         use_bias=bias, dtype=cfg.dtype, name="v_proj")(x)
+
+        if cfg.positional == "rope":
+            rotary_dim = int(d * cfg.partial_rotary_factor)
+            q = apply_rope(q, positions, theta=cfg.rope_theta,
+                           linear_scale=cfg.rope_linear_scale,
+                           rotary_dim=rotary_dim)
+            k = apply_rope(k, positions, theta=cfg.rope_theta,
+                           linear_scale=cfg.rope_linear_scale,
+                           rotary_dim=rotary_dim)
+
+        slopes = alibi_slopes(h) if cfg.positional == "alibi" else None
+
+        new_cache = None
+        new_seg = None
+        if layer_cache is None:
+            out = flash_or_xla_attention(
+                q, k, v, causal=True,
+                segment_ids_q=segment_ids, segment_ids_kv=segment_ids,
+                alibi_slopes=slopes)
+        else:
+            # Write this step's K/V (and validity) into the cache at `index`.
+            idx = cache_index
+            kc = jax.lax.dynamic_update_slice_in_dim(
+                layer_cache["k"], k.astype(layer_cache["k"].dtype), idx, axis=1)
+            vc = jax.lax.dynamic_update_slice_in_dim(
+                layer_cache["v"], v.astype(layer_cache["v"].dtype), idx, axis=1)
+            new_cache = {"k": kc, "v": vc}
+            seg_in = (segment_ids if segment_ids is not None
+                      else jnp.ones(q.shape[:2], jnp.int32))
+            new_seg = jax.lax.dynamic_update_slice_in_dim(
+                cache_seg, seg_in, idx, axis=1)
+            s_q = q.shape[1]
+            if s_q == 1:
+                # Single decode step: every valid cached token is in the past;
+                # the validity mask alone is the attention mask. ALiBi still
+                # needs the true query position for its distance bias.
+                out = mha_reference(
+                    q, kc, vc, causal=False,
+                    segment_ids_q=jnp.ones((q.shape[0], 1), jnp.int32),
+                    segment_ids_kv=(new_seg > 0).astype(jnp.int32),
+                    alibi_slopes=slopes, q_offset=idx)
+            else:
+                # Prefill: causal within the written span.
+                out = mha_reference(
+                    q, kc, vc, causal=True,
+                    segment_ids_q=seg_in,
+                    segment_ids_kv=new_seg,
+                    alibi_slopes=slopes, q_offset=idx)
+
+        out = DenseGeneral((cfg.hidden_size,), axis=(-2, -1),
+                           kernel_axes=("heads", "kv", "embed"),
+                           use_bias=bias, dtype=cfg.dtype, name="o_proj")(out)
+        return out, new_cache, new_seg
+
+
+class DecoderBlock(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, positions, segment_ids, layer_cache, cache_seg,
+                 cache_index):
+        cfg = self.cfg
+        h = cfg.norm_layer("input_norm")(x)
+        attn_out, new_cache, new_seg = Attention(cfg, name="attn")(
+            h, positions, segment_ids, layer_cache, cache_seg, cache_index)
+
+        if cfg.mlp == "gated":
+            mlp = GatedMLP(cfg.intermediate_size, dtype=cfg.dtype, name="mlp")
+        else:
+            mlp = SimpleMLP(cfg.intermediate_size, activation=cfg.mlp,
+                            dtype=cfg.dtype, name="mlp")
+
+        if cfg.parallel_block:
+            # Phi-2: attention and MLP read the same normed input and share
+            # one residual add.
+            x = x + attn_out + mlp(h)
+        else:
+            x = x + attn_out
+            h2 = cfg.norm_layer("post_attn_norm")(x)
+            x = x + mlp(h2)
+        return x, new_cache, new_seg
+
+
+class CausalLM(nn.Module):
+    """Token ids (or pre-spliced embeddings) -> logits (+ updated KV cache)."""
+
+    cfg: DecoderConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = Embed(cfg.vocab_size, cfg.hidden_size,
+                                  dtype=cfg.dtype, name="embed_tokens")
+        if cfg.positional == "learned":
+            # OPT-style learned positions (offset 2 handled by caller parity
+            # code in convert.py; positions here are already final indices).
+            self.embed_positions = Embed(
+                cfg.max_position_embeddings + 2, cfg.hidden_size,
+                dtype=cfg.dtype, name="embed_positions")
+        block = DecoderBlock
+        if cfg.remat:
+            block = nn.remat(
+                DecoderBlock, prevent_cse=False,
+                static_argnums=(),
+                policy=jax.checkpoint_policies.nothing_saveable)
+        self.blocks = [block(cfg, name=f"layers_{i}")
+                       for i in range(cfg.num_layers)]
+        if cfg.final_norm:
+            self.final_norm_layer = cfg.norm_layer("final_norm")
+        if not cfg.tie_word_embeddings:
+            if cfg.normhead:
+                # Baichuan2 NormHead: plain kernel param, L2-normalized per
+                # vocab column at every forward (modeling_baichuan.py:495-502
+                # behavior, rebuilt).
+                self.lm_head_kernel = self.param(
+                    "lm_head_kernel",
+                    nn.with_logical_partitioning(
+                        nn.initializers.lecun_normal(), ("embed", "vocab")),
+                    (cfg.hidden_size, cfg.vocab_size), jnp.float32)
+            else:
+                self.lm_head = DenseGeneral(
+                    (cfg.vocab_size,), kernel_axes=("embed", "vocab"),
+                    use_bias=cfg.lm_head_bias, dtype=cfg.dtype, name="lm_head")
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def compute_logits(self, hidden):
+        cfg = self.cfg
+        if cfg.tie_word_embeddings:
+            return self.embed_tokens.attend(hidden)
+        if cfg.normhead:
+            kernel = self.lm_head_kernel
+            kernel = kernel / (jnp.linalg.norm(kernel, axis=0, keepdims=True) + 1e-7)
+            return jax.lax.dot_general(
+                hidden.astype(cfg.dtype), kernel.astype(cfg.dtype),
+                (((hidden.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return self.lm_head(hidden)
+
+    def __call__(self, input_ids=None, *, inputs_embeds=None, positions=None,
+                 segment_ids=None, kv_cache=None, return_hidden=False):
+        cfg = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        b, s = inputs_embeds.shape[:2]
+        if positions is None:
+            start = kv_cache["index"] if kv_cache is not None else 0
+            positions = start + jnp.broadcast_to(jnp.arange(s), (b, s))
+        x = inputs_embeds
+        if cfg.positional == "learned":
+            x = x + self.embed_positions(positions + 2)
+
+        cache_seg = kv_cache["seg"] if kv_cache is not None else None
+        cache_index = kv_cache["index"] if kv_cache is not None else None
+        new_layers = []
+        new_seg = cache_seg
+        for i, blk in enumerate(self.blocks):
+            layer_cache = kv_cache["layers"][i] if kv_cache is not None else None
+            x, layer_new, seg_new = blk(
+                x, positions, segment_ids, layer_cache, cache_seg, cache_index)
+            if kv_cache is not None:
+                new_layers.append(layer_new)
+                new_seg = seg_new
+        if cfg.final_norm:
+            x = self.final_norm_layer(x)
+        logits = self.compute_logits(x)
+
+        new_cache = None
+        if kv_cache is not None:
+            new_cache = {
+                "layers": tuple(new_layers),
+                "seg": new_seg,
+                "index": cache_index + s,
+            }
+        if return_hidden:
+            return logits, new_cache, x
+        return logits, new_cache
+
+
+def cross_entropy_loss(logits, labels, *, ignore_index=-100,
+                       z_loss_weight=0.0):
+    """Shifted-label CE in f32 with ignore masking + optional z-loss.
+
+    logits: (b, s, V) f32; labels: (b, s) int32. Labels are already aligned
+    (caller shifts). Returns (mean_loss, num_valid_tokens).
+    """
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    label_logit = jnp.take_along_axis(
+        logits, safe_labels[..., None], axis=-1)[..., 0]
+    nll = logz - label_logit
+    if z_loss_weight:
+        nll = nll + z_loss_weight * jnp.square(logz)
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / count, valid.sum()
