@@ -1,0 +1,202 @@
+"""Vision-to-LM projectors (reference model/projector/* rebuilt).
+
+Each maps tower features (b, P, C_vision) -> LM tokens (b, P', D_lm):
+
+  * MLPProjector   — single linear (mlp_projector.py)
+  * ConvProjector  — the Merlin default: features reshaped to the patch
+    grid, 3x3 conv stride ``conv_stride`` (conv_projector.py:14-20);
+    tokens reduced by stride^2 (448/14 grid 32x32 -> 16x16 = 256 tokens)
+  * QWenProjector  — raw matmul parameter (qwen_projector.py:15)
+  * SAMProjector   — two stride-2 convs then linear (sam_projector.py:12-30)
+  * Resampler      — perceiver-style learnable-query cross-attention
+    (qwen_sampler_projector.py + qwen_nosampler_encoder.py:97-165)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from merlin_tpu.models.layers import DenseGeneral, LayerNorm
+from merlin_tpu.ops.attention import mha_reference
+
+
+class MLPProjector(nn.Module):
+    out_features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return DenseGeneral((self.out_features,),
+                            kernel_axes=("vit_embed", "embed"),
+                            use_bias=True, dtype=self.dtype, name="proj")(x)
+
+
+class ConvProjector(nn.Module):
+    """3x3 conv, stride ``conv_stride``, padding 1 over the patch grid."""
+
+    out_features: int
+    conv_stride: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, p, c = x.shape
+        side = int(math.isqrt(p))
+        if side * side != p:
+            raise ValueError(f"patch count {p} is not square")
+        grid = x.reshape(b, side, side, c)
+        out = nn.Conv(
+            self.out_features, (3, 3),
+            strides=(self.conv_stride, self.conv_stride),
+            padding=((1, 1), (1, 1)), use_bias=True,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.lecun_normal(),
+                ("conv_hw", "conv_hw", "conv_in", "conv_out")),
+            name="conv")(grid.astype(self.dtype))
+        return out.reshape(b, -1, self.out_features)
+
+
+class QWenProjector(nn.Module):
+    """Bare matmul parameter (qwen_projector.py:15,57-63)."""
+
+    out_features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "proj",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), ("vit_embed", "embed")),
+            (x.shape[-1], self.out_features), jnp.float32)
+        return jnp.einsum("bpc,cd->bpd", x.astype(self.dtype),
+                          w.astype(self.dtype),
+                          preferred_element_type=jnp.float32
+                          ).astype(self.dtype)
+
+
+class SAMProjector(nn.Module):
+    """Two stride-2 3x3 convs (C->2C->4C) then linear to the LM width
+    (sam_projector.py:12-30)."""
+
+    out_features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, p, c = x.shape
+        side = int(math.isqrt(p))
+        grid = x.reshape(b, side, side, c).astype(self.dtype)
+        for i, ch in enumerate((2 * c, 4 * c)):
+            grid = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name=f"conv{i + 1}")(grid)
+            grid = nn.gelu(grid)
+        flat = grid.reshape(b, -1, grid.shape[-1])
+        return DenseGeneral((self.out_features,),
+                            kernel_axes=("vit_embed", "embed"), use_bias=True,
+                            dtype=self.dtype, name="proj")(flat)
+
+
+def _sincos_2d_pos_embed(dim: int, grid: int) -> np.ndarray:
+    """2D sin-cos absolute position table (qwen encoder get_abs_pos style)."""
+    def one_axis(d, positions):
+        omega = 1.0 / (10000 ** (np.arange(d // 2, dtype=np.float64) / (d // 2)))
+        out = np.einsum("p,f->pf", positions, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    coords = np.arange(grid, dtype=np.float64)
+    yy, xx = np.meshgrid(coords, coords, indexing="ij")
+    emb_y = one_axis(dim // 2, yy.reshape(-1))
+    emb_x = one_axis(dim // 2, xx.reshape(-1))
+    return np.concatenate([emb_y, emb_x], axis=1).astype(np.float32)
+
+
+class Resampler(nn.Module):
+    """Perceiver resampler: ``num_queries`` learnable queries cross-attend
+    the vision features once (Qwen-VL style, qwen_nosampler_encoder.py:97-165).
+    Output is always (b, num_queries, out_features) regardless of input P.
+    """
+
+    out_features: int
+    num_queries: int = 256
+    num_heads: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, p, c = x.shape
+        dim = self.out_features
+        h = self.num_heads
+        d = dim // h
+
+        queries = self.param(
+            "query",
+            nn.with_logical_partitioning(
+                nn.initializers.truncated_normal(0.02), ("vit_patches", "embed")),
+            (self.num_queries, dim), jnp.float32)
+
+        kv_in = DenseGeneral((dim,), kernel_axes=("vit_embed", "embed"),
+                             use_bias=False, dtype=self.dtype, name="kv_proj")(x)
+        kv_in = LayerNorm(dtype=self.dtype, name="ln_kv")(kv_in)
+        q_in = LayerNorm(dtype=self.dtype, name="ln_q")(
+            jnp.broadcast_to(queries.astype(self.dtype), (b,) + queries.shape))
+
+        # add 2D sin-cos positions to keys (grid) and queries (query grid)
+        side = int(math.isqrt(p))
+        if side * side == p:
+            pos_k = jnp.asarray(_sincos_2d_pos_embed(dim, side))
+            kv_in = kv_in + pos_k[None].astype(self.dtype)
+        qside = int(math.isqrt(self.num_queries))
+        if qside * qside == self.num_queries:
+            pos_q = jnp.asarray(_sincos_2d_pos_embed(dim, qside))
+            q_in = q_in + pos_q[None].astype(self.dtype)
+
+        q = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
+                         use_bias=True, dtype=self.dtype, name="q_attn")(q_in)
+        k = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
+                         use_bias=True, dtype=self.dtype, name="k_attn")(kv_in)
+        v = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
+                         use_bias=True, dtype=self.dtype, name="v_attn")(kv_in)
+        out = mha_reference(q, k, v, causal=False)
+        out = DenseGeneral((dim,), axis=(-2, -1),
+                           kernel_axes=("heads", "kv", "embed"),
+                           use_bias=True, dtype=self.dtype, name="out_attn")(out)
+        out = LayerNorm(dtype=self.dtype, name="ln_post")(out)
+        proj = self.param(
+            "proj",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), ("embed", "embed")),
+            (dim, dim), jnp.float32)
+        return jnp.einsum("bqd,de->bqe", out.astype(self.dtype),
+                          proj.astype(self.dtype)).astype(self.dtype)
+
+
+PROJECTOR_KINDS = {
+    "mlp": MLPProjector,
+    "linear": MLPProjector,
+    "conv": ConvProjector,
+    "qwen": QWenProjector,
+    "sam": SAMProjector,
+    "qwen_sampler": Resampler,
+    "resampler": Resampler,
+}
+
+
+def build_projector(kind: str, out_features: int, *, conv_stride: int = 2,
+                    dtype=jnp.bfloat16, name: str = "projector"):
+    """Reference build_projector dispatch (model/projector/builder.py:8)."""
+    if kind in ("conv",):
+        return ConvProjector(out_features, conv_stride=conv_stride,
+                             dtype=dtype, name=name)
+    if kind not in PROJECTOR_KINDS:
+        raise ValueError(f"unknown projector kind {kind!r}; "
+                         f"one of {sorted(PROJECTOR_KINDS)}")
+    return PROJECTOR_KINDS[kind](out_features, dtype=dtype, name=name)

@@ -1,0 +1,238 @@
+"""Vision transformers: CLIP ViT tower (the Merlin default encoder).
+
+Rebuilds the behavior of ``model/vision_encoder/clip_encoder.py``: an HF
+``CLIPVisionModel``-compatible ViT whose features are selected from the
+penultimate layer with the CLS token dropped (clip_encoder.py:64-72), plus
+bicubic position-embedding interpolation so a 224/336-trained tower runs at
+448 (utils/interpolate_model.py:8-32 surgery, done here at load time).
+
+TPU-first details: NHWC layout, patchify as a single conv (maps to MXU),
+non-causal flash attention through the shared dispatcher, f32 layernorm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from merlin_tpu.models.layers import DenseGeneral, LayerNorm, SimpleMLP
+from merlin_tpu.ops.attention import attention as shared_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    patch_size: int = 14
+    image_size: int = 448
+    num_channels: int = 3
+    layer_norm_eps: float = 1e-5
+    activation: str = "quick_gelu"
+    use_class_token: bool = True
+    use_pre_layernorm: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size ** 2
+
+    @property
+    def num_positions(self) -> int:
+        return self.num_patches + (1 if self.use_class_token else 0)
+
+
+def clip_vit_l14(image_size: int = 448, **kw) -> ViTConfig:
+    return ViTConfig(hidden_size=1024, num_layers=24, num_heads=16,
+                     intermediate_size=4096, patch_size=14,
+                     image_size=image_size, **kw)
+
+
+def tiny_vit(**kw) -> ViTConfig:
+    defaults = dict(hidden_size=32, num_layers=2, num_heads=4,
+                    intermediate_size=64, patch_size=4, image_size=16,
+                    dtype=jnp.float32)
+    defaults.update(kw)
+    return ViTConfig(**defaults)
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        h, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        res = x
+        x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm1")(x)
+        q = DenseGeneral((h, d), kernel_axes=("vit_embed", "vit_heads", "kv"),
+                         use_bias=True, dtype=cfg.dtype, name="q_proj")(x)
+        k = DenseGeneral((h, d), kernel_axes=("vit_embed", "vit_heads", "kv"),
+                         use_bias=True, dtype=cfg.dtype, name="k_proj")(x)
+        v = DenseGeneral((h, d), kernel_axes=("vit_embed", "vit_heads", "kv"),
+                         use_bias=True, dtype=cfg.dtype, name="v_proj")(x)
+        attn = shared_attention(q, k, v, causal=False)
+        attn = DenseGeneral((cfg.hidden_size,), axis=(-2, -1),
+                            kernel_axes=("vit_heads", "kv", "vit_embed"),
+                            use_bias=True, dtype=cfg.dtype, name="o_proj")(attn)
+        x = res + attn
+        res = x
+        x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm2")(x)
+        x = SimpleMLP(cfg.intermediate_size, activation=cfg.activation,
+                      dtype=cfg.dtype, name="mlp")(x)
+        return res + x
+
+
+class ViT(nn.Module):
+    """CLIP-style vision transformer. Input NHWC pixel values, output the
+    per-layer hidden states (index 0 = embeddings) like HF
+    ``output_hidden_states=True`` so callers can feature-select."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, pixel_values) -> List[jax.Array]:
+        cfg = self.cfg
+        b = pixel_values.shape[0]
+        x = nn.Conv(
+            cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+            use_bias=False, dtype=cfg.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.lecun_normal(),
+                ("conv_hw", "conv_hw", "conv_in", "vit_embed")),
+            name="patch_embed")(pixel_values.astype(cfg.dtype))
+        x = x.reshape(b, -1, cfg.hidden_size)  # (b, P, C)
+
+        if cfg.use_class_token:
+            cls = self.param(
+                "class_embedding",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(0.02), ("vit_embed",)),
+                (cfg.hidden_size,), jnp.float32)
+            cls = jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.hidden_size))
+            x = jnp.concatenate([cls, x], axis=1)
+
+        pos = self.param(
+            "position_embedding",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), ("vit_patches", "vit_embed")),
+            (cfg.num_positions, cfg.hidden_size), jnp.float32)
+        x = x + pos[None].astype(cfg.dtype)
+
+        if cfg.use_pre_layernorm:
+            x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype,
+                          name="pre_norm")(x)
+
+        hidden_states = [x]
+        for i in range(cfg.num_layers):
+            x = ViTBlock(cfg, name=f"layers_{i}")(x)
+            hidden_states.append(x)
+        return hidden_states
+
+
+class CLIPVisionTower(nn.Module):
+    """Feature-select wrapper: hidden_states[select_layer], CLS dropped
+    (reference clip_encoder.py:64-72 default select_layer=-2,
+    select_feature='patch')."""
+
+    cfg: ViTConfig
+    select_layer: int = -2
+    select_feature: str = "patch"
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        hidden_states = ViT(self.cfg, name="vit")(pixel_values)
+        feats = hidden_states[self.select_layer]
+        if self.select_feature == "patch":
+            if self.cfg.use_class_token:
+                feats = feats[:, 1:]
+        elif self.select_feature == "cls_patch":
+            pass
+        else:
+            raise ValueError(f"unknown select_feature {self.select_feature}")
+        return feats
+
+
+# ---------------------------------------------------------------------------
+# HF weight conversion + position-embedding interpolation
+# ---------------------------------------------------------------------------
+
+def interpolate_pos_embedding(pos: np.ndarray, new_positions: int,
+                              has_class_token: bool = True) -> np.ndarray:
+    """Bicubic 2D interpolation of ViT position embeddings (224->448 upres),
+    the load-time equivalent of the reference's checkpoint surgery
+    (utils/interpolate_model.py:8-32)."""
+    if pos.shape[0] == new_positions:
+        return pos
+    cls_part = pos[:1] if has_class_token else pos[:0]
+    grid_part = pos[1:] if has_class_token else pos
+    old_size = int(np.sqrt(grid_part.shape[0]))
+    new_size = int(np.sqrt(new_positions - (1 if has_class_token else 0)))
+    grid = grid_part.reshape(old_size, old_size, -1)
+    resized = jax.image.resize(
+        jnp.asarray(grid, jnp.float32), (new_size, new_size, grid.shape[-1]),
+        method="bicubic")
+    return np.concatenate(
+        [cls_part, np.asarray(resized).reshape(new_size * new_size, -1)], axis=0)
+
+
+def vit_params_from_hf(state_dict, cfg: ViTConfig) -> dict:
+    """HF CLIPVisionModel state dict -> ViT flax params (vision_model.* keys,
+    with/without prefix)."""
+    from merlin_tpu.models.convert import _np, _qkv_kernel, _o_kernel
+
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def key(name):
+        for cand in (name, "vision_model." + name, "model.vision_tower." + name,
+                     "vision_tower.vision_model." + name):
+            if cand in sd:
+                return sd[cand]
+        raise KeyError(name)
+
+    h = cfg.num_heads
+    d = cfg.hidden_size // h
+    pos = key("embeddings.position_embedding.weight")
+    pos = interpolate_pos_embedding(pos, cfg.num_positions,
+                                    cfg.use_class_token)
+    p = {
+        "class_embedding": key("embeddings.class_embedding").reshape(-1),
+        "position_embedding": pos,
+        # torch conv OIHW -> flax HWIO
+        "patch_embed": {"kernel": key("embeddings.patch_embedding.weight")
+                        .transpose(2, 3, 1, 0)},
+        "pre_norm": {"scale": key("pre_layrnorm.weight"),
+                     "bias": key("pre_layrnorm.bias")},
+    }
+    for i in range(cfg.num_layers):
+        lb = f"encoder.layers.{i}."
+        p[f"layers_{i}"] = {
+            "norm1": {"scale": key(lb + "layer_norm1.weight"),
+                      "bias": key(lb + "layer_norm1.bias")},
+            "norm2": {"scale": key(lb + "layer_norm2.weight"),
+                      "bias": key(lb + "layer_norm2.bias")},
+            "q_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.q_proj.weight"), h, d),
+                       "bias": key(lb + "self_attn.q_proj.bias").reshape(h, d)},
+            "k_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.k_proj.weight"), h, d),
+                       "bias": key(lb + "self_attn.k_proj.bias").reshape(h, d)},
+            "v_proj": {"kernel": _qkv_kernel(key(lb + "self_attn.v_proj.weight"), h, d),
+                       "bias": key(lb + "self_attn.v_proj.bias").reshape(h, d)},
+            "o_proj": {"kernel": _o_kernel(key(lb + "self_attn.out_proj.weight"), h, d),
+                       "bias": key(lb + "self_attn.out_proj.bias")},
+            "mlp": {"fc1": {"kernel": key(lb + "mlp.fc1.weight").T,
+                            "bias": key(lb + "mlp.fc1.bias")},
+                    "fc2": {"kernel": key(lb + "mlp.fc2.weight").T,
+                            "bias": key(lb + "mlp.fc2.bias")}},
+        }
+    return p
