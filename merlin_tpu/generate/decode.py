@@ -1,0 +1,185 @@
+"""Jitted autoregressive generation with a functional KV cache.
+
+Replaces the reference's HF ``model.generate`` call sites (eval.py:66-79,
+eval_mmbench.py:140-159, model_worker.py:162-187) with a TPU-native decode
+engine:
+
+  * prefill once over the (right-padded) prompt batch — images are spliced
+    here; the whole prompt rides the flash-attention kernel,
+  * a fully-jitted ``lax.while_loop`` decode with early exit when every
+    sequence finished (batch eval path), and
+  * a per-step jitted function driven from Python for token streaming
+    (serving path; the reference's TextIteratorStreamer equivalent), with
+    keyword stopping checked host-side on the decoded text
+    (mm_utils.KeywordsStoppingCriteria behavior).
+
+Ragged prompts share one cache write cursor: validity ids in the cache mask
+out right padding, while RoPE positions advance per-sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merlin_tpu.models.decoder import init_kv_cache
+from merlin_tpu.ops.sampling import sample_token
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    max_new_tokens: int = 128
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    num_beams: int = 1
+    eos_id: int = 2
+    pad_id: int = 0
+    # extra single-token stop ids (multi-token keywords are handled by the
+    # host-side streamer / post-truncation)
+    stop_token_ids: Tuple[int, ...] = ()
+    cache_dtype: Any = jnp.bfloat16
+
+
+def keyword_hit(text: str, keywords: Sequence[str]) -> bool:
+    """KeywordsStoppingCriteria equivalent: any keyword in generated text."""
+    return any(kw in text for kw in keywords if kw)
+
+
+def truncate_at_keywords(text: str, keywords: Sequence[str]) -> str:
+    for kw in keywords:
+        if kw and kw in text:
+            text = text.split(kw)[0]
+    return text
+
+
+class Generator:
+    """Compiles prefill/decode once per (batch, prompt-len) signature."""
+
+    def __init__(self, model, gen_cfg: GenerateConfig):
+        self.model = model
+        self.cfg = gen_cfg
+
+        def prefill(params, input_ids, images, attention_mask, cache):
+            kwargs = {}
+            if images is not None:
+                kwargs["images"] = images
+            b, s = input_ids.shape
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+            logits, cache = model.apply(
+                {"params": params}, input_ids,
+                segment_ids=attention_mask.astype(jnp.int32),
+                positions=positions, kv_cache=cache, **kwargs)
+            lengths = attention_mask.sum(axis=1).astype(jnp.int32)
+            next_logits = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+            return next_logits, cache, lengths
+
+        def step(params, token, positions, cache):
+            logits, cache = model.apply(
+                {"params": params}, token[:, None],
+                positions=positions[:, None], kv_cache=cache)
+            return logits[:, 0], cache
+
+        self._prefill = jax.jit(prefill)
+        self._step = jax.jit(step)
+
+        cfg = gen_cfg
+        stop_ids = jnp.asarray((cfg.eos_id,) + tuple(cfg.stop_token_ids),
+                               jnp.int32)
+
+        def pick(rng, logits):
+            return sample_token(
+                rng, logits, temperature=cfg.temperature, top_k=cfg.top_k,
+                top_p=cfg.top_p, do_sample=cfg.do_sample)
+
+        def decode_loop(params, first_logits, cache, lengths, rng):
+            b = first_logits.shape[0]
+            out = jnp.full((b, cfg.max_new_tokens), cfg.pad_id, jnp.int32)
+
+            def cond(state):
+                i, _, _, _, done, _, _ = state
+                return (i < cfg.max_new_tokens) & ~jnp.all(done)
+
+            def body(state):
+                i, logits, cache, lengths, done, rng, out = state
+                rng, sub = jax.random.split(rng)
+                tok = pick(sub, logits).astype(jnp.int32)
+                tok = jnp.where(done, cfg.pad_id, tok)
+                out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, i))
+                done = done | jnp.any(tok[:, None] == stop_ids[None, :], -1)
+                logits, cache = step(params, tok, lengths, cache)
+                return (i + 1, logits, cache, lengths + 1, done, rng, out)
+
+            state = (jnp.int32(0), first_logits, cache, lengths,
+                     jnp.zeros((b,), bool), rng, out)
+            state = jax.lax.while_loop(cond, body, state)
+            return state[6], state[0]
+
+        self._decode_loop = jax.jit(decode_loop)
+
+    # ------------------------------------------------------------------
+    def _start(self, params, input_ids, images, attention_mask):
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        b, s = input_ids.shape
+        if attention_mask is None:
+            attention_mask = (input_ids != self.cfg.pad_id)
+        attention_mask = jnp.asarray(attention_mask)
+        lm_cfg = self.model.cfg.lm if hasattr(self.model.cfg, "lm") else self.model.cfg
+        cache = init_kv_cache(
+            lm_cfg, b, max_len=s + self.cfg.max_new_tokens,
+            dtype=self.cfg.cache_dtype)
+        return self._prefill(params, input_ids, images, attention_mask, cache)
+
+    def __call__(self, params, input_ids, *, images=None,
+                 attention_mask=None, rng: Optional[jax.Array] = None
+                 ) -> np.ndarray:
+        """Batch generation. Returns (b, max_new_tokens) int32 (pad-filled
+        after EOS; EOS/stop token included)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        logits, cache, lengths = self._start(
+            params, input_ids, images, attention_mask)
+        out, _ = self._decode_loop(params, logits, cache, lengths, rng)
+        return np.asarray(out)
+
+    def stream(self, params, input_ids, *, images=None, attention_mask=None,
+               rng: Optional[jax.Array] = None, tokenizer=None,
+               keywords: Sequence[str] = ()) -> Iterator[np.ndarray]:
+        """Step-by-step generation for serving: yields (b,) token ids each
+        step; stops on EOS/stop ids everywhere or host-side keyword hit."""
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.key(0)
+        logits, cache, lengths = self._start(
+            params, input_ids, images, attention_mask)
+        b = logits.shape[0]
+        done = np.zeros((b,), bool)
+        stop_ids = {cfg.eos_id, *cfg.stop_token_ids}
+        texts = [""] * b
+        history: list = []
+        for i in range(cfg.max_new_tokens):
+            rng, sub = jax.random.split(rng)
+            tok = np.asarray(sample_token(
+                sub, logits, temperature=cfg.temperature, top_k=cfg.top_k,
+                top_p=cfg.top_p, do_sample=cfg.do_sample)).astype(np.int32)
+            tok = np.where(done, cfg.pad_id, tok)
+            done = done | np.isin(tok, list(stop_ids))
+            history.append(tok)
+            yield tok
+            if tokenizer is not None and keywords:
+                seq = np.stack(history, axis=1)
+                for j in range(b):
+                    if not done[j]:
+                        texts[j] = tokenizer.decode(seq[j],
+                                                    skip_special_tokens=False)
+                        if keyword_hit(texts[j], keywords):
+                            done[j] = True
+            if done.all():
+                return
+            logits, cache = self._step(
+                params, jnp.asarray(tok), lengths + i, cache)
