@@ -1,0 +1,148 @@
+"""Tar-shard streaming: the webdataset pipeline rebuilt on the stdlib.
+
+Reference pipeline (pair_webdataset.py:38-49):
+  InfiniteShardList(seed=3407) -> shuffle(world_size, rng=42) -> split_by_node
+  -> split_by_worker -> tarfile_to_samples -> shuffle(1000, weak) -> decode
+
+Here each stage is a small generator; distribution is by JAX process index
+(``jax.process_index()`` replaces torch rank) and an optional worker id.
+Every stage swallows-and-logs per-sample failures (the reference's
+``warn_and_continue`` fault tolerance, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+import tarfile
+from typing import Dict, Iterator, List, Optional, Sequence
+
+logger = logging.getLogger("merlin_tpu.data")
+
+IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
+
+
+def infinite_shard_list(shards: Sequence[str], seed: int = 3407
+                        ) -> Iterator[str]:
+    """Yield shards forever, reshuffled each epoch from a deterministic seed
+    (webdataset InfiniteShardList semantics)."""
+    shards = list(shards)
+    if not shards:
+        raise ValueError("empty shard list")
+    rng = random.Random(seed)
+    while True:
+        epoch = list(shards)
+        rng.shuffle(epoch)
+        yield from epoch
+
+
+def split_by_host(it: Iterator[str], *, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None) -> Iterator[str]:
+    """Round-robin shard assignment per JAX host (split_by_node equivalent)."""
+    if process_index is None:
+        try:
+            import jax
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        except Exception:
+            process_index, process_count = 0, 1
+    for i, shard in enumerate(it):
+        if i % process_count == process_index:
+            yield shard
+
+
+def split_by_worker(it: Iterator[str], worker_id: int = 0,
+                    num_workers: int = 1) -> Iterator[str]:
+    for i, shard in enumerate(it):
+        if i % num_workers == worker_id:
+            yield shard
+
+
+def tar_to_samples(shard_it: Iterator[str]) -> Iterator[Dict[str, bytes]]:
+    """Stream tar members grouped by key (basename before first dot) into
+    sample dicts {ext: bytes, '__key__': key}."""
+    for shard in shard_it:
+        try:
+            with tarfile.open(shard, mode="r|*") as tf:
+                current_key = None
+                sample: Dict[str, bytes] = {}
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    name = os.path.basename(member.name)
+                    if "." not in name:
+                        continue
+                    key, ext = name.split(".", 1)
+                    ext = ext.lower()
+                    if current_key is not None and key != current_key:
+                        if sample:
+                            sample["__key__"] = current_key
+                            yield sample
+                        sample = {}
+                    current_key = key
+                    data = tf.extractfile(member)
+                    if data is not None:
+                        sample[ext] = data.read()
+                if sample and current_key is not None:
+                    sample["__key__"] = current_key
+                    yield sample
+        except Exception as e:  # skip-and-continue fault tolerance
+            logger.warning("shard %s failed: %s", shard, e)
+            continue
+
+
+def buffer_shuffle(it: Iterator, bufsize: int = 1000,
+                   seed: int = 42) -> Iterator:
+    """Weak shuffle through a bounded reservoir (wds.shuffle(1000))."""
+    rng = random.Random(seed)
+    buf: List = []
+    for item in it:
+        if len(buf) < bufsize:
+            buf.append(item)
+            continue
+        idx = rng.randrange(bufsize)
+        yield buf[idx]
+        buf[idx] = item
+    rng.shuffle(buf)
+    yield from buf
+
+
+def has_caption_and_image(sample: Dict[str, bytes]) -> bool:
+    """wds filter_no_caption_or_no_image equivalent. Image fields may be
+    compound (interpair frames are stored as key.frameN.jpg -> field
+    'frameN.jpg'), so match by suffix."""
+    has_img = any(k.endswith(IMAGE_EXTS) for k in sample if k != "__key__")
+    has_txt = "txt" in sample or "json" in sample
+    return has_img and has_txt
+
+
+def first_image_bytes(sample: Dict[str, bytes]) -> Optional[bytes]:
+    for ext in IMAGE_EXTS:
+        if ext in sample:
+            return sample[ext]
+    for k, v in sample.items():
+        if k != "__key__" and k.endswith(IMAGE_EXTS):
+            return v
+    return None
+
+
+def shard_sample_stream(shards: Sequence[str], *, seed: int = 3407,
+                        shard_shuffle_seed: int = 42,
+                        sample_buffer: int = 1000,
+                        process_index: Optional[int] = None,
+                        process_count: Optional[int] = None,
+                        worker_id: int = 0, num_workers: int = 1,
+                        select=has_caption_and_image
+                        ) -> Iterator[Dict[str, bytes]]:
+    """The full reference pipeline as one composed iterator."""
+    it = infinite_shard_list(shards, seed)
+    it = buffer_shuffle(it, bufsize=max(process_count or 1, 1),
+                        seed=shard_shuffle_seed)
+    it = split_by_host(it, process_index=process_index,
+                       process_count=process_count)
+    it = split_by_worker(it, worker_id, num_workers)
+    samples = tar_to_samples(it)
+    samples = (s for s in samples if select(s))
+    return buffer_shuffle(samples, bufsize=sample_buffer,
+                          seed=shard_shuffle_seed)
