@@ -112,11 +112,12 @@ def build_model_tokenizer(model_args, data_args, training_args,
         model=MMGPT(cfg), config=cfg, tokenizer=tokenizer, special_ids=ids,
         params=None, orig_vocab_size=orig_vocab)
     bundle.trainable_mask, bundle.embed_row_trainable = _freeze_masks(
-        model_args, cfg, orig_vocab)
+        model_args, cfg, orig_vocab, ids)
     return bundle
 
 
-def _freeze_masks(model_args, cfg: MMGPTConfig, orig_vocab: int):
+def _freeze_masks(model_args, cfg: MMGPTConfig, orig_vocab: int,
+                  ids: Optional[SpecialIds] = None):
     """Reference freeze matrix -> (per-subtree bool fn, embedding row mask).
 
     Returned ``trainable_mask`` is a function path->bool applied lazily by
@@ -142,6 +143,10 @@ def _freeze_masks(model_args, cfg: MMGPTConfig, orig_vocab: int):
     if model_args.freeze_lm_model and model_args.tune_im_start_end:
         row_mask = np.zeros((cfg.lm.vocab_size,), np.float32)
         row_mask[orig_vocab:] = 1.0
+        # tokenizers that place the new tokens at low ids (TinyTokenizer)
+        for tid in (cfg.image_patch_id, cfg.im_start_id, cfg.im_end_id):
+            if 0 <= tid < cfg.lm.vocab_size:
+                row_mask[tid] = 1.0
     return trainable, row_mask
 
 

@@ -1,0 +1,106 @@
+"""The pjit'd training step: loss, grad accumulation, optimizer update.
+
+TPU-first layout: one jitted function per optimizer step. Microbatches for
+gradient accumulation arrive stacked on a leading axis and are consumed by
+``lax.scan`` (compiled once, no Python loop). Batches enter as uint8 images
++ int32 tokens; normalization runs on device so it fuses with the tower's
+first conv (BASELINE north star). Sharding comes from the logical-axis
+rules — the train step itself never names a mesh axis except for the batch
+constraint.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from merlin_tpu.ops.image_ops import normalize as normalize_images
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def make_loss_fn(model, *, use_packing_segments: bool = False):
+    def loss_fn(params, batch):
+        seg = (batch["segment_ids"] if use_packing_segments
+               else batch["attention_mask"])
+        images = batch.get("images")
+        if images is not None:
+            images = normalize_images(images)
+        _, _, loss = model.apply(
+            {"params": params}, batch["input_ids"], images=images,
+            segment_ids=seg.astype(jnp.int32), labels=batch["labels"])
+        return loss
+
+    return loss_fn
+
+
+def make_train_step(model, tx, *, mesh: Optional[Mesh] = None,
+                    use_packing_segments: bool = False,
+                    donate: bool = True) -> Callable:
+    """Returns jitted ``train_step(state, batch) -> (state, metrics)``.
+
+    ``batch`` leaves are shaped (accum, micro_batch, ...); accum=1 for no
+    accumulation. Gradients are averaged across microbatches.
+    """
+    loss_fn = make_loss_fn(model, use_packing_segments=use_packing_segments)
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def train_step(state: TrainState, batch):
+        if mesh is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(None, ("data", "fsdp")))),
+                batch)
+
+        def accum(carry, micro):
+            loss_sum, grads_sum = carry
+            loss, grads = grad_fn(state.params, micro)
+            grads_sum = jax.tree.map(jnp.add, grads_sum, grads)
+            return (loss_sum + loss, grads_sum), None
+
+        n_accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (loss_sum, grads), _ = jax.lax.scan(
+            accum, (jnp.zeros((), jnp.float32), zero_grads), batch)
+        inv = 1.0 / n_accum
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        loss = loss_sum * inv
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "update_norm": optax.global_norm(updates),
+        }
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def stack_microbatches(batch: Dict[str, Any], grad_accum: int):
+    """(accum*micro, ...) host batch -> (accum, micro, ...) leaves."""
+    def reshape(x):
+        b = x.shape[0]
+        assert b % grad_accum == 0, (b, grad_accum)
+        return x.reshape((grad_accum, b // grad_accum) + x.shape[1:])
+
+    return jax.tree.map(reshape, batch)

@@ -35,9 +35,13 @@ def test_freeze_matrix():
     assert not mask(("lm", "layers_0", "attn", "q_proj", "kernel"))
     assert mask(("lm", "embed_tokens", "embedding"))  # via row mask
     assert bundle.embed_row_trainable is not None
-    # only post-orig rows trainable
-    assert bundle.embed_row_trainable[:bundle.orig_vocab_size].sum() == 0
-    assert bundle.embed_row_trainable[bundle.orig_vocab_size:].min() == 1
+    # trainable rows: appended rows + the actual special-token ids
+    trainable_rows = set(np.flatnonzero(bundle.embed_row_trainable).tolist())
+    expected = set(range(bundle.orig_vocab_size,
+                         bundle.config.lm.vocab_size))
+    expected |= {bundle.config.image_patch_id, bundle.config.im_start_id,
+                 bundle.config.im_end_id}
+    assert trainable_rows == expected
 
 
 def test_last_vit_layer_always_frozen():
