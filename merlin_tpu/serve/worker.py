@@ -1,0 +1,228 @@
+"""Model worker (reference engine/serve/model_worker.py rebuilt).
+
+Loads the model once, registers with the controller, heartbeats every 15s
+(re-registering if forgotten, model_worker.py:101-102), and serves:
+
+  POST /worker_get_status       -> {model_names, speed, queue_length}
+  POST /worker_generate_stream  {prompt, images(base64 list), temperature,
+                                 max_new_tokens, stop} -> \\0-delimited
+                                 {text, error_code} chunks
+
+Generation runs through the jitted streaming decoder; base64 images are
+decoded and ``<image>`` placeholders expanded to patch runs
+(model_worker.py:124-147). A semaphore caps concurrency (:30,225-238) —
+the TPU executes one batch at a time, queued requests report through
+queue_length for the controller's dispatch.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from merlin_tpu.serve.protocol import (
+    ErrorCode, WORKER_HEART_BEAT_INTERVAL, http_json, pack_chunk)
+from merlin_tpu.utils import constants as C
+from merlin_tpu.utils.logging import setup_logger
+
+logger = setup_logger(name="merlin_tpu.worker")
+
+
+class ModelWorker:
+    def __init__(self, bundle, *, worker_address: str,
+                 controller_address: Optional[str] = None,
+                 model_names: Optional[List[str]] = None,
+                 limit_concurrency: int = 5,
+                 conv_template: str = "v1"):
+        from merlin_tpu.eval.runner import EvalConfig, EvalModel
+
+        self.bundle = bundle
+        self.worker_address = worker_address
+        self.controller_address = controller_address
+        self.model_names = model_names or ["merlin-tpu"]
+        self.semaphore = threading.Semaphore(limit_concurrency)
+        self._queue = 0
+        self._lock = threading.Lock()
+        self._eval_cfg = EvalConfig(conv_template=conv_template)
+        self._model = EvalModel(bundle, self._eval_cfg)
+        self._stop = threading.Event()
+        if controller_address:
+            self.register()
+            threading.Thread(target=self._heartbeat_loop,
+                             daemon=True).start()
+
+    # ------------------------------------------------------------------
+    def status(self) -> Dict:
+        return {"model_names": self.model_names, "speed": 1.0,
+                "queue_length": self._queue}
+
+    def register(self):
+        try:
+            http_json("POST", self.controller_address + "/register_worker", {
+                "worker_name": self.worker_address,
+                "check_heart_beat": True,
+                "worker_status": self.status()})
+        except Exception as e:
+            logger.warning("register failed: %s", e)
+
+    def _heartbeat_loop(self):
+        while not self._stop.wait(WORKER_HEART_BEAT_INTERVAL):
+            try:
+                resp = http_json(
+                    "POST", self.controller_address + "/receive_heart_beat",
+                    {"worker_name": self.worker_address,
+                     "queue_length": self._queue})
+                if not resp.get("exist"):
+                    self.register()  # controller forgot us
+            except Exception as e:
+                logger.warning("heartbeat failed: %s", e)
+
+    # ------------------------------------------------------------------
+    def _decode_images(self, images_b64: List[str]) -> List:
+        from PIL import Image
+
+        out = []
+        for data in images_b64 or []:
+            out.append(Image.open(
+                io.BytesIO(base64.b64decode(data))).convert("RGB"))
+        return out
+
+    def generate_stream(self, params: Dict) -> Iterator[bytes]:
+        """Yield accumulated-text chunks (model_worker.py:162-187)."""
+        import dataclasses
+        import jax.numpy as jnp
+        from merlin_tpu.generate.decode import (
+            GenerateConfig, Generator, truncate_at_keywords)
+
+        with self._lock:
+            self._queue += 1
+        acquired = self.semaphore.acquire(timeout=60)
+        try:
+            if not acquired:
+                yield pack_chunk({"text": "", "error_code": ErrorCode.TIMEOUT})
+                return
+            prompt = params["prompt"]
+            images = self._decode_images(params.get("images"))
+            temperature = float(params.get("temperature", 1.0))
+            max_new = int(params.get("max_new_tokens", 256))
+            stop = params.get("stop") or C.DEFAULT_EOS_TOKEN
+
+            tok = self.bundle.tokenizer
+            gen = Generator(self.bundle.model, GenerateConfig(
+                max_new_tokens=max_new, do_sample=temperature > 1e-4,
+                temperature=max(temperature, 1e-4),
+                eos_id=tok.eos_token_id, pad_id=tok.pad_token_id))
+
+            text = self._model.build_prompt(prompt, num_images=len(images)) \
+                if "USER:" not in prompt else prompt
+            # placeholder expansion when the client sends raw <image> tags
+            placeholder = C.image_placeholder(
+                self.bundle.config.image_token_len,
+                self.bundle.config.use_im_start_end)
+            text = text.replace(C.DEFAULT_IMAGE_TOKEN, placeholder)
+            enc = tok(text)["input_ids"]
+            ids = np.asarray(
+                enc[0] if enc and isinstance(enc[0], list) else enc,
+                np.int32)[None]
+            imgs = self._model.preprocess_images(images)
+            kwargs = {"images": jnp.asarray(imgs)} if imgs is not None else {}
+
+            collected: List[int] = []
+            for step_tokens in gen.stream(
+                    self.bundle.params, ids, tokenizer=tok,
+                    keywords=[stop], **kwargs):
+                collected.append(int(step_tokens[0]))
+                out_text = tok.decode(collected, skip_special_tokens=True)
+                out_text = truncate_at_keywords(out_text, [stop])
+                yield pack_chunk({"text": out_text, "error_code": 0})
+        except Exception as e:
+            logger.exception("generate failed")
+            yield pack_chunk({"text": str(e),
+                              "error_code": ErrorCode.WORKER_ERROR})
+        finally:
+            if acquired:
+                self.semaphore.release()
+            with self._lock:
+                self._queue -= 1
+
+    def stop(self):
+        self._stop.set()
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _read(self) -> Dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_POST(self):
+            if self.path == "/worker_get_status":
+                body = json.dumps(worker.status()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/worker_generate_stream":
+                params = self._read()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                for chunk in worker.generate_stream(params):
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def serve(bundle, *, host: str = "0.0.0.0", port: int = 21002,
+          controller_address: Optional[str] = None,
+          model_names: Optional[List[str]] = None) -> ThreadingHTTPServer:
+    worker = ModelWorker(
+        bundle, worker_address=f"http://{host}:{port}",
+        controller_address=controller_address, model_names=model_names)
+    server = ThreadingHTTPServer((host, port), make_handler(worker))
+    server.worker = worker
+    return server
+
+
+def main():
+    import argparse
+    from merlin_tpu.models.builder import (
+        build_model_tokenizer, init_or_load_params)
+    from merlin_tpu.train.arguments import parse_args
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=21002)
+    p.add_argument("--controller-address", default=None)
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--tiny", action="store_true")
+    args, rest = p.parse_known_args()
+
+    margs, dargs, targs = parse_args(rest)
+    if args.model_path:
+        margs.model_name_or_path = args.model_path
+    bundle = build_model_tokenizer(margs, dargs, targs, tiny=args.tiny)
+    init_or_load_params(bundle, composite_checkpoint=margs.pretrain_model)
+    server = serve(bundle, host=args.host, port=args.port,
+                   controller_address=args.controller_address)
+    logger.info("worker listening on %s:%d", args.host, args.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

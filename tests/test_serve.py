@@ -1,0 +1,115 @@
+"""Serving tier end-to-end on localhost: worker registration, heartbeat
+semantics, dispatch, and streaming generate through the controller relay."""
+
+import json
+import threading
+import time
+
+import pytest
+
+from merlin_tpu.serve import controller as controller_mod
+from merlin_tpu.serve import worker as worker_mod
+from merlin_tpu.serve.cli import stream_request
+from merlin_tpu.serve.protocol import http_json
+from merlin_tpu.serve.tools import test_message as send_test_message
+
+
+@pytest.fixture(scope="module")
+def tiny_bundle():
+    from merlin_tpu.models.builder import (
+        build_model_tokenizer, init_or_load_params)
+    from merlin_tpu.train.arguments import (
+        DataArguments, ModelArguments, TrainingArguments)
+
+    bundle = build_model_tokenizer(
+        ModelArguments(), DataArguments(image_size=16),
+        TrainingArguments(gradient_checkpointing=False, model_max_length=128),
+        tiny=True)
+    init_or_load_params(bundle)
+    return bundle
+
+
+@pytest.fixture(scope="module")
+def stack(tiny_bundle):
+    ctrl_server = controller_mod.serve(host="127.0.0.1", port=0)
+    ctrl_port = ctrl_server.server_address[1]
+    ctrl_addr = f"http://127.0.0.1:{ctrl_port}"
+    threading.Thread(target=ctrl_server.serve_forever, daemon=True).start()
+
+    worker = worker_mod.ModelWorker(
+        tiny_bundle, worker_address="PLACEHOLDER",
+        controller_address=None)
+    wk_server = worker_mod.ThreadingHTTPServer(
+        ("127.0.0.1", 0), worker_mod.make_handler(worker))
+    wk_port = wk_server.server_address[1]
+    worker.worker_address = f"http://127.0.0.1:{wk_port}"
+    worker.controller_address = ctrl_addr
+    threading.Thread(target=wk_server.serve_forever, daemon=True).start()
+    worker.register()
+
+    yield dict(ctrl=ctrl_addr, worker=worker.worker_address,
+               controller=ctrl_server.controller, worker_obj=worker)
+    ctrl_server.shutdown()
+    wk_server.shutdown()
+
+
+def test_register_and_list_models(stack):
+    models = http_json("POST", stack["ctrl"] + "/list_models")["models"]
+    assert "merlin-tpu" in models
+
+
+def test_get_worker_address_dispatch(stack):
+    resp = http_json("POST", stack["ctrl"] + "/get_worker_address",
+                     {"model": "merlin-tpu"})
+    assert resp["address"] == stack["worker"]
+    none = http_json("POST", stack["ctrl"] + "/get_worker_address",
+                     {"model": "missing-model"})
+    assert none["address"] == ""
+
+
+def test_heartbeat_updates_and_unknown_worker(stack):
+    ok = http_json("POST", stack["ctrl"] + "/receive_heart_beat",
+                   {"worker_name": stack["worker"], "queue_length": 3})
+    assert ok["exist"]
+    unknown = http_json("POST", stack["ctrl"] + "/receive_heart_beat",
+                        {"worker_name": "http://nowhere:1", "queue_length": 0})
+    assert not unknown["exist"]  # triggers worker re-registration
+
+
+def test_worker_stream_direct(stack):
+    chunks = list(stream_request(stack["worker"], {
+        "prompt": "hello there", "temperature": 0.0,
+        "max_new_tokens": 4, "stop": "</s>"}))
+    assert chunks
+    assert all(c["error_code"] == 0 for c in chunks)
+    assert isinstance(chunks[-1]["text"], str)
+
+
+def test_stream_through_controller_relay(stack):
+    chunks = list(stream_request(stack["ctrl"], {
+        "model": "merlin-tpu", "prompt": "USER: hi ASSISTANT:",
+        "temperature": 0.0, "max_new_tokens": 4, "stop": "</s>"}))
+    assert chunks and chunks[-1]["error_code"] == 0
+
+
+def test_controller_relay_absent_model(stack):
+    chunks = list(stream_request(stack["ctrl"], {
+        "model": "missing", "prompt": "x", "max_new_tokens": 2}))
+    assert chunks[-1]["error_code"] == 2  # WORKER_ABSENT
+
+
+def test_message_tool(stack):
+    out = send_test_message(stack["ctrl"], message="hi", max_new_tokens=3,
+                       print_fn=lambda *a, **k: None)
+    assert isinstance(out, str)
+
+
+def test_stale_worker_expiry(stack):
+    ctrl = stack["controller"]
+    name = stack["worker"]
+    ctrl.workers[name].last_heart_beat = time.time() - 999
+    ctrl.remove_stale_workers()
+    assert name not in ctrl.workers
+    # re-register for any later tests
+    stack["worker_obj"].register()
+    assert name in ctrl.workers
