@@ -81,7 +81,11 @@ def build_model_tokenizer(model_args, data_args, training_args,
             model_args.model_name_or_path,
             model_max_length=training_args.model_max_length,
             dtype=dtype, remat=training_args.gradient_checkpointing)
-        vit_cfg = clip_vit_l14(image_size=data_args.image_size, dtype=dtype)
+        from merlin_tpu.models.vision_builder import (
+            default_vision_config, vision_kind_from_name)
+        vision_kind = vision_kind_from_name(model_args.vision_tower or "clip")
+        vit_cfg = default_vision_config(
+            vision_kind, data_args.image_size, dtype=dtype)
         try:
             tokenizer, ids, num_added = load_tokenizer(
                 model_args.model_name_or_path,
@@ -98,6 +102,7 @@ def build_model_tokenizer(model_args, data_args, training_args,
     cfg = MMGPTConfig(
         lm=lm_cfg, vit=vit_cfg,
         projector=model_args.projector, conv_stride=model_args.conv_stride,
+        vision_kind="clip" if tiny else vision_kind,
         select_layer=model_args.mm_vision_select_layer,
         select_feature=model_args.mm_vision_select_feature,
         use_im_start_end=model_args.mm_use_im_start_end,
@@ -106,7 +111,8 @@ def build_model_tokenizer(model_args, data_args, training_args,
 
     # back-propagate tower geometry into data args (base_mmgpt.py:46-52)
     data_args.num_patches = cfg.image_token_len
-    data_args.image_size = vit_cfg.image_size
+    data_args.image_size = getattr(vit_cfg, "image_size",
+                                   getattr(vit_cfg, "img_size", 448))
 
     bundle = ModelBundle(
         model=MMGPT(cfg), config=cfg, tokenizer=tokenizer, special_ids=ids,

@@ -37,9 +37,10 @@ from merlin_tpu.utils.constants import IGNORE_INDEX
 @dataclasses.dataclass(frozen=True)
 class MMGPTConfig:
     lm: DecoderConfig
-    vit: ViTConfig
+    vit: Any  # ViTConfig or SAMViTConfig, per vision_kind
     projector: str = "conv"
     conv_stride: int = 2
+    vision_kind: str = "clip"  # clip | metaclip | qwen | sam
     select_layer: int = -2
     select_feature: str = "patch"
     use_im_start_end: bool = True
@@ -49,14 +50,22 @@ class MMGPTConfig:
     im_end_id: int = -1
 
     @property
+    def vision_grid(self) -> int:
+        return getattr(self.vit, "grid_size", None) or self.vit.grid
+
+    @property
     def image_token_len(self) -> int:
-        """Tokens per image after projection (reference clip_encoder.py:106-107)."""
-        if self.projector == "conv":
-            side = self.vit.grid_size // self.conv_stride
+        """Tokens per image after projection (reference clip_encoder.py:106-107,
+        sam_encoder.py:64-65, qwen Resampler 256 queries)."""
+        if self.projector in ("conv",):
+            side = self.vision_grid // self.conv_stride
             return side * side
         if self.projector in ("qwen_sampler", "resampler"):
             return 256
-        return self.vit.num_patches
+        if self.projector == "sam":
+            # two stride-2 convs over the grid (sam_projector.py:12-30)
+            return (self.vision_grid // 4) ** 2
+        return self.vision_grid ** 2
 
 
 def splice_image_embeds(token_embeds: jax.Array, patch_mask: jax.Array,
@@ -81,8 +90,9 @@ class MMGPT(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.vision_tower = CLIPVisionTower(
-            cfg.vit, select_layer=cfg.select_layer,
+        from merlin_tpu.models.vision_builder import build_vision_tower
+        self.vision_tower = build_vision_tower(
+            cfg.vision_kind, cfg.vit, select_layer=cfg.select_layer,
             select_feature=cfg.select_feature, name="vision_tower")
         self.projector = build_projector(
             cfg.projector, cfg.lm.hidden_size, conv_stride=cfg.conv_stride,

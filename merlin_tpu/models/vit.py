@@ -58,6 +58,26 @@ def clip_vit_l14(image_size: int = 448, **kw) -> ViTConfig:
                      image_size=image_size, **kw)
 
 
+def metaclip_vit_h14(image_size: int = 448, **kw) -> ViTConfig:
+    """MetaCLIP ViT-H/14 (reference metaclip_encoder.py — a dead variant
+    there: same class name as CLIPVisionTower and never imported by the
+    tower builder; provided here as a working config)."""
+    return ViTConfig(hidden_size=1280, num_layers=32, num_heads=16,
+                     intermediate_size=5120, patch_size=14,
+                     image_size=image_size, activation="gelu", **kw)
+
+
+def qwen_vit_bigG(image_size: int = 448, **kw) -> ViTConfig:
+    """Qwen-VL ViT-bigG geometry (qwen_nosampler_encoder.py:430-438):
+    1664-wide, 48 layers, patch 14, no CLS token. The reference interpolates
+    2D-sincos absolute positions (get_abs_pos:28-44); here positions are a
+    learned table interpolated at load (interpolate_pos_embedding)."""
+    return ViTConfig(hidden_size=1664, num_layers=48, num_heads=16,
+                     intermediate_size=8192, patch_size=14,
+                     image_size=image_size, activation="gelu",
+                     use_class_token=False, **kw)
+
+
 def tiny_vit(**kw) -> ViTConfig:
     defaults = dict(hidden_size=32, num_layers=2, num_heads=4,
                     intermediate_size=64, patch_size=4, image_size=16,
