@@ -58,9 +58,10 @@ def materialize_params(model, sample_ids, *, dtype=jnp.bfloat16,
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def main():
+def bench_decode():
+    """7B bf16 greedy decode + TTFT. Returns (tokens/s, ttft_ms)."""
     import dataclasses
-    from merlin_tpu.models.decoder import CausalLM
+    from merlin_tpu.models.decoder import CausalLM, init_kv_cache
     from merlin_tpu.models.families import vicuna_7b
     from merlin_tpu.generate.decode import GenerateConfig, Generator
 
@@ -76,8 +77,7 @@ def main():
         max_new_tokens=NEW_TOKENS, do_sample=False,
         eos_id=-1, pad_id=0))  # eos -1: never stop early, fixed work
 
-    # warmup (compiles prefill + decode loop)
-    out = gen(params, prompt)
+    out = gen(params, prompt)  # warmup: compiles prefill + decode loop
     _ = out.sum()
 
     runs = 3
@@ -88,9 +88,82 @@ def main():
     dt = (time.perf_counter() - t0) / runs
     tps = NEW_TOKENS * BATCH / dt
 
+    # TTFT: prefill + first-token logits (p50 of 5)
+    mask = jnp.ones_like(jnp.asarray(prompt), bool)
+    cache = init_kv_cache(cfg, BATCH, max_len=PREFILL + 8)
+    _ = gen._prefill(params, jnp.asarray(prompt), None, mask, cache)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        logits, _, _ = gen._prefill(params, jnp.asarray(prompt), None, mask,
+                                    cache)
+        float(logits.sum())
+        times.append(time.perf_counter() - t0)
+    ttft_ms = sorted(times)[len(times) // 2] * 1e3
+    return tps, ttft_ms
+
+
+def bench_vit_encode(frames: int = 8):
+    """8-frame CLIP ViT-L/14-448 encode + conv projector (the interpair
+    video hot path). Returns frames/s."""
+    from merlin_tpu.models.mmgpt import MMGPTConfig
+    from merlin_tpu.models.vit import CLIPVisionTower, clip_vit_l14
+    from merlin_tpu.models.projectors import ConvProjector
+    from merlin_tpu.ops.image_ops import preprocess_images
+    from flax import linen as nn
+
+    class TowerProj(nn.Module):
+        @nn.compact
+        def __call__(self, pixels):
+            feats = CLIPVisionTower(clip_vit_l14(448), name="tower")(pixels)
+            return ConvProjector(4096, conv_stride=2, name="proj")(feats)
+
+    model = TowerProj()
+    frames_u8 = np.random.default_rng(0).integers(
+        0, 255, size=(frames, 448, 448, 3)).astype(np.uint8)
+    params = materialize_params(model, jnp.asarray(frames_u8, jnp.bfloat16))
+
+    @jax.jit
+    def encode(p, raw):
+        pixels = preprocess_images(raw, image_size=448, aspect_mode="resize")
+        return model.apply({"params": p}, pixels.astype(jnp.bfloat16)).sum()
+
+    raw = jnp.asarray(frames_u8)
+    float(encode(params, raw))  # warmup
+    runs = 10
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = encode(params, raw)
+    float(out)
+    dt = (time.perf_counter() - t0) / runs
+    return frames / dt
+
+
+# A100 running the reference stack (HF CLIP fp16, no flash in the tower):
+# ~90 frames/s for ViT-L/14 @ 448. North star: >= 2x.
+A100_REFERENCE_VIT_FPS = 90.0
+
+
+def main():
+    details = {}
+    tps, ttft_ms = bench_decode()
+    details["vicuna7b_decode_tokens_per_sec_chip"] = round(tps, 2)
+    details["p50_ttft_ms_prefill128"] = round(ttft_ms, 1)
+    try:
+        fps = bench_vit_encode()
+        details["vit_l14_448_encode_frames_per_sec"] = round(fps, 1)
+        details["vit_vs_2x_a100"] = round(fps / (2 * A100_REFERENCE_VIT_FPS), 3)
+    except Exception as e:  # keep the primary metric robust
+        details["vit_encode_error"] = str(e)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=1)
+    import sys
+    print(json.dumps(details), file=sys.stderr)
+
     print(json.dumps({
         "metric": "vicuna7b_decode_tokens_per_sec_chip",
-        "value": round(tps, 2),
+        "value": details["vicuna7b_decode_tokens_per_sec_chip"],
         "unit": "tokens/s",
         "vs_baseline": round(tps / A100_REFERENCE_TPS, 3),
     }))
