@@ -133,16 +133,47 @@ def shard_sample_stream(shards: Sequence[str], *, seed: int = 3407,
                         process_index: Optional[int] = None,
                         process_count: Optional[int] = None,
                         worker_id: int = 0, num_workers: int = 1,
-                        select=has_caption_and_image
+                        select=has_caption_and_image,
+                        use_native: Optional[bool] = None
                         ) -> Iterator[Dict[str, bytes]]:
-    """The full reference pipeline as one composed iterator."""
-    it = infinite_shard_list(shards, seed)
-    it = buffer_shuffle(it, bufsize=max(process_count or 1, 1),
-                        seed=shard_shuffle_seed)
-    it = split_by_host(it, process_index=process_index,
-                       process_count=process_count)
-    it = split_by_worker(it, worker_id, num_workers)
-    samples = tar_to_samples(it)
+    """The full reference pipeline as one composed iterator.
+
+    When the native C++ loader is available (and shards are local files),
+    tar reading + sample grouping run on C++ threads off the GIL; the
+    shard set is statically split per host/worker and the loader handles
+    seed-shuffled infinite epochs. Fallback: the pure-Python stages."""
+    if use_native is None:
+        try:
+            from merlin_tpu.data.native_loader import native_available
+            use_native = native_available() and all(
+                os.path.exists(s) for s in shards)
+        except Exception:
+            use_native = False
+
+    if use_native:
+        from merlin_tpu.data.native_loader import NativeTarStream
+
+        if process_index is None:
+            try:
+                import jax
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        stride = (process_count or 1) * num_workers
+        offset = (process_index or 0) * num_workers + worker_id
+        subset = [s for i, s in enumerate(sorted(shards))
+                  if i % stride == offset] or list(shards)
+        samples: Iterator[Dict[str, bytes]] = NativeTarStream(
+            subset, seed=seed, n_threads=2)
+    else:
+        it = infinite_shard_list(shards, seed)
+        it = buffer_shuffle(it, bufsize=max(process_count or 1, 1),
+                            seed=shard_shuffle_seed)
+        it = split_by_host(it, process_index=process_index,
+                           process_count=process_count)
+        it = split_by_worker(it, worker_id, num_workers)
+        samples = tar_to_samples(it)
     samples = (s for s in samples if select(s))
     return buffer_shuffle(samples, bufsize=sample_buffer,
                           seed=shard_shuffle_seed)
