@@ -1,35 +1,35 @@
-"""Pallas TPU flash attention (forward kernel + custom VJP).
+"""Pallas TPU flash attention: forward + backward (dq, dkv) kernels.
 
-The TPU-native replacement for the reference's flash-attn 2 / xformers CUDA
-kernels (SURVEY.md §2.9). Online-softmax tiling over the KV sequence:
+TPU-native replacement for the reference's flash-attn 2 / xformers CUDA
+kernels (SURVEY.md §2.9). Forward is online-softmax tiling:
 
-  grid = (batch, heads, num_q_blocks, num_k_blocks), k innermost.
-  TPU executes the grid sequentially, so the (m, l, acc) running statistics
-  live in VMEM scratch and persist across the k iterations of one q block;
-  the output tile is written once on the last k step. Softmax statistics in
-  float32, matmuls on the MXU with float32 accumulation.
+  grid = (batch, heads, num_q_blocks, num_k_blocks), k innermost;
+  TPU executes the grid sequentially so the (m, l, acc) running statistics
+  live in VMEM scratch across the k iterations of one q block; the output
+  tile and the log-sum-exp residual are written on the last k step.
 
-Features (all needed for reference parity):
-  * causal or bidirectional (ViT) masking, with whole-block skipping of
-    fully-masked (q, k) tiles under causal,
-  * packed-sequence segment ids — the pretrain path packs ``merge_round``
-    image-text pairs into one 2048-token sequence (pair_webdataset.py);
-    the reference deliberately trains *without* block-diagonal masking but
-    we offer it properly,
-  * in-kernel ALiBi (Baichuan-13B family) computed from per-head slopes so
-    the O(s^2) bias is never materialized in HBM,
-  * GQA via index-mapped KV blocks (no KV repeat in memory).
+Backward is the flash recipe (two kernels with independent iteration
+orders, per the standard decomposition):
 
-The backward pass currently recomputes attention through the XLA reference
-implementation (flash recompute strategy; memory stays O(s) because the
-O(s^2) probabilities live only inside the fused XLA backward). A Pallas
-dq/dkv kernel can swap in later without touching callers.
+  di  = sum(o * do, -1)                     (precomputed, XLA)
+  p   = exp(s - lse)        s recomputed per tile
+  dv  = p^T @ do            (dkv kernel: grid (b, h, nk, nq), q innermost)
+  ds  = p * (dp - di) * scale,  dp = do @ v^T
+  dk  = ds^T @ q
+  dq  = ds @ k              (dq kernel: grid (b, h, nq, nk), k innermost)
+
+Features: causal or bidirectional masking with whole-tile skipping,
+packed-sequence segment ids, in-kernel ALiBi from per-head slopes, GQA via
+index-mapped KV blocks (forward; the backward falls back to the fused-XLA
+recompute for grouped KV since dk/dv accumulation would cross grid cells).
+Softmax statistics in float32; matmuls accumulate f32 on the MXU.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +38,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-_STATS_LANES = 128  # stats tiles are (block_q, 128) to satisfy lane tiling
+_STATS_LANES = 128   # stats tiles are (block_q, 128) to satisfy lane tiling
+_LSE_SUBLANES = 8    # lse/di ride (b, h, 8, s) tiles to satisfy sublane tiling
 
+
+def _tile_scores_and_mask(q, k, *, qi, ki, block_q, block_k, scale,
+                          causal, use_alibi, use_segments,
+                          slopes_ref, head_index, qseg_ref, kseg_ref,
+                          qseg_index=None, kseg_index=None):
+    """(s, mask) for one (q_block, k_block) tile. s is f32 pre-softmax
+    scores with ALiBi added; mask is None or bool (block_q, block_k)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+    if use_alibi or causal:
+        q_pos = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+    if use_alibi:
+        slope = slopes_ref[head_index]
+        s = s + slope * (k_pos - q_pos).astype(jnp.float32)
+
+    mask = None
+    if use_segments:
+        qseg = qseg_ref[0, :, :1] if qseg_index is None else qseg_index
+        kseg = kseg_ref[0, :1, :] if kseg_index is None else kseg_index
+        mask = qseg == kseg
+    if causal:
+        causal_mask = k_pos <= q_pos
+        mask = causal_mask if mask is None else (mask & causal_mask)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    return s, mask
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, qseg_ref, kseg_ref, slopes_ref,
-    out_ref,
+    out_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale: float, causal: bool, use_alibi: bool, use_segments: bool,
     block_q: int, block_k: int,
@@ -58,65 +97,37 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q_start = qi * block_q
-    k_start = ki * block_k
-
-    if causal:
-        # Skip tiles strictly above the diagonal.
-        live = k_start <= q_start + block_q - 1
-    else:
-        live = True
+    live = (ki * block_k <= qi * block_q + block_q - 1) if causal else True
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, 0]                      # (bq, d)
-        k = k_ref[0, 0]                      # (bk, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                            # (bq, bk) f32
+        s, _ = _tile_scores_and_mask(
+            q_ref[0, 0], k_ref[0, 0], qi=qi, ki=ki, block_q=block_q,
+            block_k=block_k, scale=scale, causal=causal, use_alibi=use_alibi,
+            use_segments=use_segments, slopes_ref=slopes_ref,
+            head_index=pl.program_id(1), qseg_ref=qseg_ref, kseg_ref=kseg_ref)
 
-        if use_alibi or causal:
-            q_pos = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            k_pos = k_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1)
-
-        if use_alibi:
-            slope = slopes_ref[pl.program_id(1)]
-            s = s + slope * (k_pos - q_pos).astype(jnp.float32)
-
-        mask = None
-        if use_segments:
-            qseg = qseg_ref[0, :, :1]   # (bq, 1)
-            kseg = kseg_ref[0, :1, :]   # (1, bk)
-            mask = qseg == kseg
-        if causal:
-            causal_mask = k_pos <= q_pos
-            mask = causal_mask if mask is None else (mask & causal_mask)
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_scr[:, :1]                            # (bq, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)       # (bq, 1)
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)                  # (bq, 1)
-        p = jnp.exp(s - m_new)                           # (bq, bk) f32
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
         l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=jnp.float32)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ki == nk - 1)
     def _finalize():
         l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padding) rows -> 0
-        out_ref[0, 0] = (acc_scr[:] / l).astype(out_ref.dtype)
+        l_safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked padding rows
+        out_ref[0, 0] = (acc_scr[:] / l_safe).astype(out_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(l_safe)   # (bq, 1)
+        lse_ref[0, 0] = jnp.broadcast_to(lse.T, (_LSE_SUBLANES, block_q))
 
 
 def _flash_fwd_pallas(
@@ -139,7 +150,7 @@ def _flash_fwd_pallas(
     # TPU tiling requires >= (8, 128) tiles: broadcast q ids across lanes and
     # kv ids across sublanes (same layout the XLA flash kernels use).
     qseg_b = jnp.broadcast_to(qseg[:, :, None], (b, sq, _STATS_LANES))
-    kseg_b = jnp.broadcast_to(kseg[:, None, :], (b, 8, skv))
+    kseg_b = jnp.broadcast_to(kseg[:, None, :], (b, _LSE_SUBLANES, skv))
 
     grid = (b, h, nq, nk)
     kernel = functools.partial(
@@ -147,7 +158,7 @@ def _flash_fwd_pallas(
         use_segments=use_segments, block_q=block_q, block_k=block_k,
     )
     flops_scale = 0.5 if causal else 1.0
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -158,12 +169,20 @@ def _flash_fwd_pallas(
                          lambda bi, hi, qi, ki, g=group: (bi, hi // g, ki, 0)),
             pl.BlockSpec((1, block_q, _STATS_LANES),
                          lambda bi, hi, qi, ki: (bi, qi, 0)),
-            pl.BlockSpec((1, 8, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, _LSE_SUBLANES, block_k),
+                         lambda bi, hi, qi, ki: (bi, 0, ki)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # slopes: full (h,) array
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, _LSE_SUBLANES, block_q),
+                         lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, _LSE_SUBLANES, sq), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, _STATS_LANES), jnp.float32),
             pltpu.VMEM((block_q, _STATS_LANES), jnp.float32),
@@ -180,40 +199,266 @@ def _flash_fwd_pallas(
             transcendentals=int(b * h * sq * skv * flops_scale),
         ),
     )(qt, kt, vt, qseg_b, kseg_b, slopes1d)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    return jnp.transpose(out, (0, 2, 1, 3)), lse
 
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kseg_ref,
+    slopes_ref,
+    dq_ref,
+    dq_scr,
+    *, scale: float, causal: bool, use_alibi: bool, use_segments: bool,
+    block_q: int, block_k: int,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    live = (ki * block_k <= qi * block_q + block_q - 1) if causal else True
+
+    @pl.when(live)
+    def _compute():
+        s, mask = _tile_scores_and_mask(
+            q_ref[0, 0], k_ref[0, 0], qi=qi, ki=ki, block_q=block_q,
+            block_k=block_k, scale=scale, causal=causal, use_alibi=use_alibi,
+            use_segments=use_segments, slopes_ref=slopes_ref,
+            head_index=pl.program_id(1), qseg_ref=qseg_ref, kseg_ref=kseg_ref)
+        lse = lse_ref[0, 0, :1, :].T          # (bq, 1)
+        p = jnp.exp(s - lse)
+        if mask is not None:
+            # padding rows have lse==NEG_INF: exp(NEG_INF-NEG_INF)=1, kill it
+            p = jnp.where(mask, p, 0.0)
+
+        do = do_ref[0, 0]                      # (bq, d)
+        dp = jax.lax.dot_general(
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (bq, bk)
+        di = di_ref[0, 0, :1, :].T             # (bq, 1)
+        ds = p * (dp - di) * scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0, 0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref, kseg_ref,
+    slopes_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, causal: bool, use_alibi: bool, use_segments: bool,
+    block_q: int, block_k: int,
+):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    live = (ki * block_k <= qi * block_q + block_q - 1) if causal else True
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]
+        s, mask = _tile_scores_and_mask(
+            q, k_ref[0, 0], qi=qi, ki=ki, block_q=block_q,
+            block_k=block_k, scale=scale, causal=causal, use_alibi=use_alibi,
+            use_segments=use_segments, slopes_ref=slopes_ref,
+            head_index=pl.program_id(1), qseg_ref=qseg_ref, kseg_ref=kseg_ref)
+        lse = lse_ref[0, 0, :1, :].T
+        p = jnp.exp(s - lse)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        do = do_ref[0, 0]                      # (bq, d)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (bk, d)
+        dp = jax.lax.dot_general(
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (bq, bk)
+        di = di_ref[0, 0, :1, :].T
+        ds = p * (dp - di) * scale                # (bq, bk)
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (bk, d)
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas(q, k, v, out, lse, g, qseg, kseg, slopes,
+                      *, causal, scale, block_q, block_k,
+                      use_alibi, use_segments):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    nq = sq // block_q
+    nk = skv // block_k
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    dot = jnp.transpose(g, (0, 2, 1, 3))
+    qseg_b = jnp.broadcast_to(qseg[:, :, None], (b, sq, _STATS_LANES))
+    kseg_b = jnp.broadcast_to(kseg[:, None, :], (b, _LSE_SUBLANES, skv))
+    slopes1d = slopes.reshape(h).astype(jnp.float32)
+
+    # di = sum(o * do, -1): tiny elementwise reduce, in XLA; same
+    # (b, h, 8, s) layout as lse
+    di = jnp.einsum("bshd,bshd->bhs", out.astype(jnp.float32),
+                    g.astype(jnp.float32))
+    di = jnp.broadcast_to(di[:, :, None, :], (b, h, _LSE_SUBLANES, sq))
+    lse4 = lse  # already (b, h, 8, sq)
+
+    kernel_kw = dict(scale=scale, causal=causal, use_alibi=use_alibi,
+                     use_segments=use_segments, block_q=block_q,
+                     block_k=block_k)
+    flops_scale = 0.5 if causal else 1.0
+    cost = pl.CostEstimate(
+        flops=int(8 * b * h * sq * skv * d * flops_scale),
+        bytes_accessed=int(3 * q.size * q.dtype.itemsize),
+        transcendentals=int(b * h * sq * skv * flops_scale))
+
+    # --- dq: grid (b, h, nq, nk), k innermost ---
+    dq_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, _LSE_SUBLANES, block_q),
+                     lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, _LSE_SUBLANES, block_q),
+                     lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, block_q, _STATS_LANES),
+                     lambda bi, hi, qi, ki: (bi, qi, 0)),
+        pl.BlockSpec((1, _LSE_SUBLANES, block_k),
+                     lambda bi, hi, qi, ki: (bi, 0, ki)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kernel_kw),
+        grid=(b, h, nq, nk),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=cost,
+    )(qt, kt, vt, dot, lse4, di, qseg_b, kseg_b, slopes1d)
+
+    # --- dkv: grid (b, h, nk, nq), q innermost ---
+    dkv_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, _LSE_SUBLANES, block_q),
+                     lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, _LSE_SUBLANES, block_q),
+                     lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, block_q, _STATS_LANES),
+                     lambda bi, hi, ki, qi: (bi, qi, 0)),
+        pl.BlockSpec((1, _LSE_SUBLANES, block_k),
+                     lambda bi, hi, ki, qi: (bi, 0, ki)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **kernel_kw),
+        grid=(b, h, nk, nq),
+        in_specs=dkv_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, skv, d), v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=cost,
+    )(qt, kt, vt, dot, lse4, di, qseg_b, kseg_b, slopes1d)
+
+    dq = jnp.transpose(dq, (0, 2, 1, 3))
+    dk = jnp.transpose(dk, (0, 2, 1, 3))
+    dv = jnp.transpose(dv, (0, 2, 1, 3))
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom VJP plumbing
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _flash(q, k, v, qseg, kseg, slopes, causal, scale, block_q, block_k,
            use_alibi, use_segments):
-    return _flash_fwd_pallas(
+    out, _ = _flash_fwd_pallas(
         q, k, v, qseg, kseg, slopes, causal=causal, scale=scale,
         block_q=block_q, block_k=block_k, use_alibi=use_alibi,
         use_segments=use_segments)
+    return out
 
 
 def _flash_fwd_rule(q, k, v, qseg, kseg, slopes, causal, scale, block_q,
                     block_k, use_alibi, use_segments):
-    out = _flash(q, k, v, qseg, kseg, slopes, causal, scale, block_q,
-                 block_k, use_alibi, use_segments)
-    return out, (q, k, v, qseg, kseg, slopes)
+    out, lse = _flash_fwd_pallas(
+        q, k, v, qseg, kseg, slopes, causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k, use_alibi=use_alibi,
+        use_segments=use_segments)
+    return out, (q, k, v, qseg, kseg, slopes, out, lse)
 
 
 def _flash_bwd_rule(causal, scale, block_q, block_k, use_alibi, use_segments,
                     residuals, g):
-    from merlin_tpu.ops.attention import mha_reference
+    q, k, v, qseg, kseg, slopes, out, lse = residuals
+    h, hkv = q.shape[2], k.shape[2]
 
-    q, k, v, qseg, kseg, slopes = residuals
+    use_pallas = (h == hkv and jax.default_backend() == "tpu"
+                  and os.environ.get("MERLIN_FLASH_BWD", "pallas") == "pallas")
+    if use_pallas:
+        dq, dk, dv = _flash_bwd_pallas(
+            q, k, v, out, lse, g, qseg, kseg, slopes, causal=causal,
+            scale=scale, block_q=block_q, block_k=block_k,
+            use_alibi=use_alibi, use_segments=use_segments)
+    else:
+        # GQA / CPU fallback: recompute through the fused-XLA reference
+        from merlin_tpu.ops.attention import mha_reference
 
-    def ref(q_, k_, v_):
-        return mha_reference(
-            q_, k_, v_, causal=causal,
-            segment_ids_q=qseg if use_segments else None,
-            segment_ids_kv=kseg if use_segments else None,
-            alibi_slopes=slopes if use_alibi else None, scale=scale)
+        def ref(q_, k_, v_):
+            return mha_reference(
+                q_, k_, v_, causal=causal,
+                segment_ids_q=qseg if use_segments else None,
+                segment_ids_kv=kseg if use_segments else None,
+                alibi_slopes=slopes if use_alibi else None, scale=scale)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(g)
+
     f0 = jax.dtypes.float0
     return (dq, dk, dv,
             np.zeros(qseg.shape, f0), np.zeros(kseg.shape, f0),
