@@ -10,7 +10,7 @@ import os
 # Force CPU even when the ambient environment selects a TPU platform
 # (e.g. JAX_PLATFORMS=axon set by a sitecustomize hook that registers a
 # TPU plugin and overrides the env var): this suite is the deterministic
-# multi-device CPU tier; TPU-hardware tests live in tests/tpu/ and opt in
+# multi-device CPU tier; TPU-hardware tests live in tests_tpu/ and opt in
 # explicitly. jax.config.update wins over the plugin's env override.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

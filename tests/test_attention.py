@@ -1,6 +1,6 @@
 """Attention op tests (CPU: XLA reference path + dispatcher semantics).
 
-The Pallas kernel itself is validated on TPU hardware (tests/tpu/ suite and
+The Pallas kernel itself is validated on TPU hardware (tests_tpu/ suite and
 bench.py); interpret mode is too slow for CI-sized shapes. What we verify
 here: mask semantics, GQA, ALiBi, decode offsets, and that the dispatcher
 on a non-TPU backend returns the reference result.

@@ -1,6 +1,6 @@
 """Flash-attention kernel parity tests. Run manually on TPU hardware:
 
-    JAX_PLATFORMS='' python -m pytest tests/tpu/ -q -p no:cacheprovider
+    python -m pytest tests_tpu/ -q -p no:cacheprovider
 
 Skipped automatically under the CPU CI conftest.
 """
