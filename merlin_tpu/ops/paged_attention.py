@@ -1,0 +1,232 @@
+"""Pallas paged-attention decode kernel + a minimal page allocator.
+
+Serving-side replacement for the reference's HF generate over a contiguous
+KV cache (SURVEY.md §2.9 "CUDA paged generation"): each sequence's KV lives
+in fixed-size pages scattered across HBM; a page table maps logical blocks
+to physical pages so concurrent requests share one pool with no
+fragmentation or copies on admission/eviction.
+
+Kernel design: grid (batch, kv_heads, pages_per_seq). The page gather uses
+*scalar-prefetched* page indices inside the K/V BlockSpec index maps — the
+Pallas pipeline then streams exactly the pages a sequence owns, double
+buffered, with no manual DMA. Online softmax runs over pages; all query
+heads of one KV head (GQA group) are processed together so the MXU matmul
+is (group, d) x (d, page).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANES = 128
+
+
+def _paged_kernel(
+    lengths_ref, page_tables_ref,        # scalar prefetch (SMEM)
+    q_ref, k_page_ref, v_page_ref,       # VMEM blocks
+    out_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, page_size: int,
+):
+    b = pl.program_id(0)
+    pi = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    length = lengths_ref[b]
+
+    @pl.when(pi == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(pi * page_size < length)
+    def _compute():
+        q = q_ref[0, 0]                          # (group, d)
+        k = k_page_ref[0, 0]                     # (page, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (group, page)
+
+        k_pos = pi * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < length, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_page_ref.dtype), v_page_ref[0, 0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(pi == n_pages - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_scr[:] / l).astype(out_ref.dtype)
+
+
+def paged_attention(
+    q: jax.Array,            # (b, h, d) one decode token per sequence
+    k_pages: jax.Array,      # (hkv, total_pages, page_size, d)
+    v_pages: jax.Array,
+    lengths: jax.Array,      # (b,) int32 valid tokens per sequence
+    page_tables: jax.Array,  # (b, pages_per_seq) int32 physical page ids
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Decode-step attention over a paged KV cache. Returns (b, h, d)."""
+    b, h, d = q.shape
+    hkv, total_pages, page_size, _ = k_pages.shape
+    assert h % hkv == 0
+    group = h // hkv
+    pages_per_seq = page_tables.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+
+    qg = q.reshape(b, hkv, group, d)
+
+    grid = (b, hkv, pages_per_seq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, group, d),
+                         lambda b_, h_, p_, lens, tables: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, page_size, d),
+                         lambda b_, h_, p_, lens, tables:
+                         (h_, tables[b_, p_], 0, 0)),
+            pl.BlockSpec((1, 1, page_size, d),
+                         lambda b_, h_, p_, lens, tables:
+                         (h_, tables[b_, p_], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group, d),
+            lambda b_, h_, p_, lens, tables: (b_, h_, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group, _LANES), jnp.float32),
+            pltpu.VMEM((group, _LANES), jnp.float32),
+            pltpu.VMEM((group, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_kernel, scale=scale, page_size=page_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      qg, k_pages, v_pages)
+    return out.reshape(b, h, d)
+
+
+def paged_attention_reference(q, k_pages, v_pages, lengths, page_tables,
+                              *, scale=None):
+    """XLA reference (gather pages then dense attention) for tests/CPU."""
+    b, h, d = q.shape
+    hkv, _, page_size, _ = k_pages.shape
+    group = h // hkv
+    pages_per_seq = page_tables.shape[1]
+    max_len = pages_per_seq * page_size
+    scale = scale if scale is not None else d ** -0.5
+
+    # gather: (b, hkv, max_len, d)
+    k_seq = k_pages[:, page_tables]            # (hkv, b, pages, page, d)
+    v_seq = v_pages[:, page_tables]
+    k_seq = k_seq.transpose(1, 0, 2, 3, 4).reshape(b, hkv, max_len, d)
+    v_seq = v_seq.transpose(1, 0, 2, 3, 4).reshape(b, hkv, max_len, d)
+
+    qg = q.reshape(b, hkv, group, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhkd->bhgk", qg,
+                   k_seq.astype(jnp.float32)) * scale
+    mask = jnp.arange(max_len)[None, :] < lengths[:, None]
+    s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq.astype(jnp.float32))
+    return out.reshape(b, h, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Page allocator (host side)
+# ---------------------------------------------------------------------------
+
+class PagePool:
+    """Fixed pool of KV pages + per-sequence page tables (vLLM-style,
+    host-side bookkeeping; device arrays are updated functionally)."""
+
+    def __init__(self, total_pages: int, page_size: int,
+                 pages_per_seq: int):
+        self.page_size = page_size
+        self.pages_per_seq = pages_per_seq
+        self._free = list(range(total_pages - 1, -1, -1))
+        self.tables = {}   # seq id -> list of physical pages
+        self.lengths = {}  # seq id -> tokens written
+
+    def allocate(self, seq_id, num_tokens: int):
+        """Reserve pages for `num_tokens`; returns the page table list."""
+        needed = -(-num_tokens // self.page_size)
+        if needed > self.pages_per_seq:
+            raise ValueError("sequence exceeds pages_per_seq")
+        table = self.tables.setdefault(seq_id, [])
+        while len(table) < needed:
+            if not self._free:
+                raise MemoryError("page pool exhausted")
+            table.append(self._free.pop())
+        self.lengths[seq_id] = num_tokens
+        return table
+
+    def extend(self, seq_id, new_tokens: int = 1):
+        return self.allocate(seq_id, self.lengths[seq_id] + new_tokens)
+
+    def release(self, seq_id):
+        for page in self.tables.pop(seq_id, []):
+            self._free.append(page)
+        self.lengths.pop(seq_id, None)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def table_array(self, seq_ids) -> np.ndarray:
+        """Padded (n, pages_per_seq) int32 table for the kernel; unused
+        slots point at page 0 (masked out by lengths)."""
+        out = np.zeros((len(seq_ids), self.pages_per_seq), np.int32)
+        for i, sid in enumerate(seq_ids):
+            t = self.tables.get(sid, [])
+            out[i, : len(t)] = t
+        return out
+
+
+def write_token_to_pages(k_pages, v_pages, k_new, v_new, *, positions,
+                         page_tables):
+    """Scatter one decode step's K/V into the paged cache.
+
+    k_new/v_new: (b, hkv, d); positions: (b,) token index per sequence;
+    page_tables: (b, pages_per_seq). Returns updated (k_pages, v_pages).
+    """
+    page_size = k_pages.shape[2]
+    logical_page = positions // page_size
+    offset = positions % page_size
+    phys = jnp.take_along_axis(page_tables, logical_page[:, None],
+                               axis=1)[:, 0]
+
+    def write(pages, new):
+        # pages: (hkv, P, page, d); new: (b, hkv, d)
+        def body(i, pages):
+            return pages.at[:, phys[i], offset[i], :].set(
+                new[i].astype(pages.dtype))
+        return jax.lax.fori_loop(0, new.shape[0], body, pages)
+
+    return write(k_pages, k_new), write(v_pages, v_new)

@@ -1,0 +1,58 @@
+"""Page allocator + paged cache writer (host-side, CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merlin_tpu.ops.paged_attention import (
+    PagePool, paged_attention_reference, write_token_to_pages)
+
+
+def test_page_pool_alloc_extend_release():
+    pool = PagePool(total_pages=16, page_size=4, pages_per_seq=4)
+    t = pool.allocate("a", 6)
+    assert len(t) == 2
+    pool.extend("a", 3)  # 9 tokens -> 3 pages
+    assert len(pool.tables["a"]) == 3
+    arr = pool.table_array(["a"])
+    assert arr.shape == (1, 4)
+    pool.release("a")
+    assert pool.free_pages == 16
+    with pytest.raises(ValueError):
+        pool.allocate("b", 100)
+
+
+def test_page_pool_exhaustion():
+    pool = PagePool(total_pages=2, page_size=4, pages_per_seq=4)
+    pool.allocate("a", 8)
+    with pytest.raises(MemoryError):
+        pool.allocate("b", 4)
+
+
+def test_write_token_to_pages():
+    kp = jnp.zeros((2, 4, 4, 8), jnp.float32)
+    vp = jnp.zeros_like(kp)
+    knew = jnp.ones((1, 2, 8))
+    vnew = 2 * jnp.ones((1, 2, 8))
+    tbl = jnp.asarray([[3, 1, 0, 0]], jnp.int32)
+    kp1, vp1 = write_token_to_pages(kp, vp, knew, vnew,
+                                    positions=jnp.asarray([5]),
+                                    page_tables=tbl)
+    # position 5 -> logical page 1 -> physical page 1, offset 1
+    assert float(kp1[0, 1, 1, 0]) == 1.0
+    assert float(vp1[1, 1, 1, 0]) == 2.0
+    assert float(kp1.sum()) == 2 * 8  # only one slot written per kv head
+
+
+def test_reference_lengths_masking():
+    rng = np.random.default_rng(0)
+    b, h, d = 1, 2, 8
+    kp = jnp.asarray(rng.normal(size=(2, 4, 4, d)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(2, 4, 4, d)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    tbl = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    # length 4 == first page only; changing later pages must not matter
+    out1 = paged_attention_reference(q, kp, vp, jnp.asarray([4]), tbl)
+    kp2 = kp.at[:, 3].set(99.0)
+    out2 = paged_attention_reference(q, kp2, vp, jnp.asarray([4]), tbl)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))

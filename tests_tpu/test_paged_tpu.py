@@ -1,0 +1,31 @@
+"""Paged attention kernel parity on TPU hardware."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware")
+
+
+def test_paged_attention_matches_reference():
+    from merlin_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_reference)
+
+    rng = np.random.default_rng(0)
+    b, h, hkv, d = 4, 16, 8, 128
+    page_size, total_pages, pages_per_seq = 128, 64, 8
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    k_pages = jnp.asarray(
+        rng.normal(size=(hkv, total_pages, page_size, d)), jnp.float32)
+    v_pages = jnp.asarray(
+        rng.normal(size=(hkv, total_pages, page_size, d)), jnp.float32)
+    lengths = jnp.asarray([100, 512, 1, 1000], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+
+    ref = paged_attention_reference(q, k_pages, v_pages, lengths, tables)
+    out = paged_attention(q, k_pages, v_pages, lengths, tables)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
