@@ -45,6 +45,9 @@ class GenerateConfig:
     # host-side streamer / post-truncation)
     stop_token_ids: Tuple[int, ...] = ()
     cache_dtype: Any = jnp.bfloat16
+    # pad prompts up to a multiple of this so serving traffic with varied
+    # prompt lengths reuses one compiled prefill (0 = exact length)
+    prompt_bucket: int = 128
 
 
 def keyword_hit(text: str, keywords: Sequence[str]) -> bool:
@@ -127,10 +130,16 @@ class Generator:
     # ------------------------------------------------------------------
     def _start(self, params, input_ids, images, attention_mask):
         input_ids = jnp.asarray(input_ids, jnp.int32)
-        b, s = input_ids.shape
         if attention_mask is None:
             attention_mask = (input_ids != self.cfg.pad_id)
         attention_mask = jnp.asarray(attention_mask)
+        bucket = self.cfg.prompt_bucket
+        if bucket and input_ids.shape[1] % bucket:
+            pad = bucket - input_ids.shape[1] % bucket
+            input_ids = jnp.pad(input_ids, ((0, 0), (0, pad)),
+                                constant_values=self.cfg.pad_id)
+            attention_mask = jnp.pad(attention_mask, ((0, 0), (0, pad)))
+        b, s = input_ids.shape
         lm_cfg = self.model.cfg.lm if hasattr(self.model.cfg, "lm") else self.model.cfg
         cache = init_kv_cache(
             lm_cfg, b, max_len=s + self.cfg.max_new_tokens,

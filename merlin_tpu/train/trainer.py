@@ -112,6 +112,18 @@ class Trainer:
         start_step = int(self.state.step)
         accum = max(args.gradient_accumulation_steps, 1)
         last_metrics: Dict[str, float] = {}
+
+        # throughput/MFU tracking (utils/profiling: SURVEY.md §5 subsystem)
+        from merlin_tpu.utils.profiling import StepTimer, train_step_flops
+        n_params = sum(int(x.size) for x in
+                       jax.tree_util.tree_leaves(self.state.params))
+        tokens_per_step = (args.per_device_train_batch_size * accum
+                           * jax.device_count() * args.model_max_length)
+        timer = StepTimer(
+            tokens_per_step=tokens_per_step,
+            flops_per_step=train_step_flops(
+                n_params, tokens_per_step, args.gradient_checkpointing))
+
         t0 = time.perf_counter()
         for step in range(start_step, total):
             batch = next(batches)
@@ -124,6 +136,7 @@ class Trainer:
                 t0 = time.perf_counter()
                 metrics["lr"] = float(self.schedule(step))
                 metrics["step_time_s"] = dt / args.logging_steps
+                metrics.update(timer.tick())
                 last_metrics = metrics
                 msg = " ".join(f"{k}={v:.4g}" for k, v in metrics.items())
                 logger.info("step %d: %s", step + 1, msg)
