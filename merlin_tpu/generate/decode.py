@@ -48,6 +48,9 @@ class GenerateConfig:
     # pad prompts up to a multiple of this so serving traffic with varied
     # prompt lengths reuses one compiled prefill (0 = exact length)
     prompt_bucket: int = 128
+    # 'dense' contiguous KV buffers, or 'paged' fixed-size pages served by
+    # the Pallas paged-attention kernel (ops/paged_attention)
+    kv_layout: str = "dense"
 
 
 def keyword_hit(text: str, keywords: Sequence[str]) -> bool:
@@ -143,7 +146,7 @@ class Generator:
         lm_cfg = self.model.cfg.lm if hasattr(self.model.cfg, "lm") else self.model.cfg
         cache = init_kv_cache(
             lm_cfg, b, max_len=s + self.cfg.max_new_tokens,
-            dtype=self.cfg.cache_dtype)
+            dtype=self.cfg.cache_dtype, layout=self.cfg.kv_layout)
         return self._prefill(params, input_ids, images, attention_mask, cache)
 
     def __call__(self, params, input_ids, *, images=None,

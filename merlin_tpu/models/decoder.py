@@ -91,12 +91,36 @@ class DecoderConfig:
 
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> Dict[str, Any]:
+                  dtype=jnp.bfloat16, *, layout: str = "dense",
+                  page_size: int = 128) -> Dict[str, Any]:
     """Functional KV cache pytree.
 
-    ``seg`` carries validity/segment ids per cached position (0 = empty);
-    ``index`` is the shared write cursor.
+    ``layout='dense'``: contiguous (b, max_len) buffers; ``seg`` carries
+    validity/segment ids per cached position (0 = empty) and ``index`` is a
+    shared write cursor.
+
+    ``layout='paged'``: fixed-size pages (ops/paged_attention); the page
+    tables start as the identity mapping (sequence b owns pages
+    [b*pps, (b+1)*pps)) — continuous-batching engines can hand in arbitrary
+    tables. ``lengths`` tracks valid tokens per sequence, so ragged decode
+    needs no shared cursor.
     """
+    if layout == "paged":
+        pps = -(-max_len // page_size)
+        total = batch * pps
+        layer = lambda: {
+            "k_pages": jnp.zeros(
+                (cfg.kv_heads, total, page_size, cfg.head_size), dtype),
+            "v_pages": jnp.zeros(
+                (cfg.kv_heads, total, page_size, cfg.head_size), dtype),
+        }
+        tables = jnp.arange(total, dtype=jnp.int32).reshape(batch, pps)
+        return {
+            "layers": tuple(layer() for _ in range(cfg.num_layers)),
+            "page_tables": tables,
+            "lengths": jnp.zeros((batch,), jnp.int32),
+            "index": jnp.zeros((), jnp.int32),
+        }
     layer = lambda: {
         "k": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_size), dtype),
         "v": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_size), dtype),
@@ -104,6 +128,9 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
     return {
         "layers": tuple(layer() for _ in range(cfg.num_layers)),
         "seg": jnp.zeros((batch, max_len), jnp.int32),
+        # true token position per slot (slots != positions for ragged
+        # decode after padded/bucketed prefill; ALiBi needs the truth)
+        "pos": jnp.zeros((batch, max_len), jnp.int32),
         "index": jnp.zeros((), jnp.int32),
     }
 
@@ -112,11 +139,12 @@ class Attention(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, positions, segment_ids, layer_cache, cache_seg,
-                 cache_index):
+    def __call__(self, x, positions, segment_ids, layer_cache, cache_aux):
         cfg = self.cfg
         h, hkv, d = cfg.num_heads, cfg.kv_heads, cfg.head_size
         bias = cfg.attention_bias
+        cache_seg = (cache_aux or {}).get("seg")
+        cache_index = (cache_aux or {}).get("index")
 
         q = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
                          use_bias=bias, dtype=cfg.dtype, name="q_proj")(x)
@@ -138,11 +166,54 @@ class Attention(nn.Module):
 
         new_cache = None
         new_seg = None
+        new_pos = None
         if layer_cache is None:
             out = flash_or_xla_attention(
                 q, k, v, causal=True,
                 segment_ids_q=segment_ids, segment_ids_kv=segment_ids,
                 alibi_slopes=slopes)
+        elif "k_pages" in layer_cache:
+            from merlin_tpu.ops.paged_attention import (
+                paged_attention, write_token_to_pages)
+
+            tables = cache_aux["page_tables"]
+            lengths = cache_aux["lengths"]
+            kp, vp = layer_cache["k_pages"], layer_cache["v_pages"]
+            s_q = q.shape[1]
+            if s_q == 1:
+                kp, vp = write_token_to_pages(
+                    kp, vp, k[:, 0], v[:, 0], positions=lengths,
+                    page_tables=tables)
+                if jax.default_backend() == "tpu":
+                    step = paged_attention(
+                        q[:, 0], kp, vp, lengths + 1, tables,
+                        alibi_slopes=slopes)
+                else:
+                    from merlin_tpu.ops.paged_attention import (
+                        paged_attention_reference)
+                    step = paged_attention_reference(
+                        q[:, 0], kp, vp, lengths + 1, tables,
+                        alibi_slopes=slopes)
+                out = step[:, None]
+            else:
+                # prefill: bulk-write the prompt into the (identity-mapped)
+                # pages; attention is plain self-attention over the prompt
+                b_, s_ = k.shape[:2]
+                pps = tables.shape[1]
+                page = kp.shape[2]
+                kt = jnp.transpose(k, (2, 0, 1, 3)).astype(kp.dtype)
+                vt = jnp.transpose(v, (2, 0, 1, 3)).astype(vp.dtype)
+                kview = kp.reshape(hkv, b_, pps * page, d)
+                vview = vp.reshape(hkv, b_, pps * page, d)
+                kview = jax.lax.dynamic_update_slice(kview, kt, (0, 0, 0, 0))
+                vview = jax.lax.dynamic_update_slice(vview, vt, (0, 0, 0, 0))
+                kp = kview.reshape(hkv, b_ * pps, page, d)
+                vp = vview.reshape(hkv, b_ * pps, page, d)
+                out = flash_or_xla_attention(
+                    q, k, v, causal=True,
+                    segment_ids_q=segment_ids, segment_ids_kv=segment_ids,
+                    alibi_slopes=slopes)
+            new_cache = {"k_pages": kp, "v_pages": vp}
         else:
             # Write this step's K/V (and validity) into the cache at `index`.
             idx = cache_index
@@ -155,16 +226,21 @@ class Attention(nn.Module):
                       else jnp.ones(q.shape[:2], jnp.int32))
             new_seg = jax.lax.dynamic_update_slice_in_dim(
                 cache_seg, seg_in, idx, axis=1)
+            new_pos = jax.lax.dynamic_update_slice_in_dim(
+                cache_aux["pos"], positions.astype(jnp.int32), idx, axis=1)
             s_q = q.shape[1]
             if s_q == 1:
                 # Single decode step: every valid cached token is in the past;
-                # the validity mask alone is the attention mask. ALiBi still
-                # needs the true query position for its distance bias.
+                # the validity mask alone is the attention mask. ALiBi needs
+                # TRUE positions on both sides: cache slots differ from token
+                # positions once prompts are padded/bucketed, so the cache
+                # tracks per-slot positions ("pos").
                 out = mha_reference(
                     q, kc, vc, causal=False,
                     segment_ids_q=jnp.ones((q.shape[0], 1), jnp.int32),
                     segment_ids_kv=(new_seg > 0).astype(jnp.int32),
-                    alibi_slopes=slopes, q_offset=idx)
+                    alibi_slopes=slopes, q_offset=positions,
+                    k_positions=new_pos)
             else:
                 # Prefill: causal within the written span.
                 out = mha_reference(
@@ -176,19 +252,21 @@ class Attention(nn.Module):
         out = DenseGeneral((cfg.hidden_size,), axis=(-2, -1),
                            kernel_axes=("heads", "kv", "embed"),
                            use_bias=bias, dtype=cfg.dtype, name="o_proj")(out)
-        return out, new_cache, new_seg
+        new_aux = None
+        if new_seg is not None:
+            new_aux = {"seg": new_seg, "pos": new_pos}
+        return out, new_cache, new_aux
 
 
 class DecoderBlock(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, positions, segment_ids, layer_cache, cache_seg,
-                 cache_index):
+    def __call__(self, x, positions, segment_ids, layer_cache, cache_aux):
         cfg = self.cfg
         h = cfg.norm_layer("input_norm")(x)
-        attn_out, new_cache, new_seg = Attention(cfg, name="attn")(
-            h, positions, segment_ids, layer_cache, cache_seg, cache_index)
+        attn_out, new_cache, new_aux = Attention(cfg, name="attn")(
+            h, positions, segment_ids, layer_cache, cache_aux)
 
         if cfg.mlp == "gated":
             mlp = GatedMLP(cfg.intermediate_size, dtype=cfg.dtype, name="mlp")
@@ -204,7 +282,7 @@ class DecoderBlock(nn.Module):
             x = x + attn_out
             h2 = cfg.norm_layer("post_attn_norm")(x)
             x = x + mlp(h2)
-        return x, new_cache, new_seg
+        return x, new_cache, new_aux
 
 
 class CausalLM(nn.Module):
@@ -276,28 +354,42 @@ class CausalLM(nn.Module):
         if cfg.positional == "learned":
             x = x + self.embed_positions(positions + 2)
 
-        cache_seg = kv_cache["seg"] if kv_cache is not None else None
-        cache_index = kv_cache["index"] if kv_cache is not None else None
+        cache_aux = None
+        if kv_cache is not None:
+            cache_aux = {k_: v_ for k_, v_ in kv_cache.items()
+                         if k_ != "layers"}
         new_layers = []
-        new_seg = cache_seg
+        new_aux = {k_: v_ for k_, v_ in (cache_aux or {}).items()
+                   if k_ in ("seg", "pos")} or None
         for i, blk in enumerate(self.blocks):
             layer_cache = kv_cache["layers"][i] if kv_cache is not None else None
-            x, layer_new, seg_new = blk(
-                x, positions, segment_ids, layer_cache, cache_seg, cache_index)
+            x, layer_new, aux_new = blk(
+                x, positions, segment_ids, layer_cache, cache_aux)
             if kv_cache is not None:
                 new_layers.append(layer_new)
-                new_seg = seg_new
+                if aux_new is not None:
+                    new_aux = aux_new
         if cfg.final_norm:
             x = self.final_norm_layer(x)
         logits = self.compute_logits(x)
 
         new_cache = None
         if kv_cache is not None:
-            new_cache = {
-                "layers": tuple(new_layers),
-                "seg": new_seg,
-                "index": cache_index + s,
-            }
+            new_cache = {"layers": tuple(new_layers),
+                         "index": kv_cache["index"] + s}
+            if "page_tables" in kv_cache:
+                new_cache["page_tables"] = kv_cache["page_tables"]
+                if s == 1:
+                    new_cache["lengths"] = kv_cache["lengths"] + 1
+                elif segment_ids is not None:
+                    new_cache["lengths"] = (
+                        (segment_ids > 0).sum(axis=1).astype(jnp.int32))
+                else:
+                    new_cache["lengths"] = jnp.full(
+                        (b,), s, jnp.int32)
+            else:
+                new_cache["seg"] = new_aux["seg"]
+                new_cache["pos"] = new_aux["pos"]
         if return_hidden:
             return logits, new_cache, x
         return logits, new_cache

@@ -41,14 +41,24 @@ def _build_mask(
     """Boolean (b, 1, q, k) mask; True = attend."""
     mask = None
     if causal:
-        q_pos = q_offset + jnp.arange(q_len)[:, None]
-        k_pos = jnp.arange(kv_len)[None, :]
-        mask = (k_pos <= q_pos)[None, None]  # (1,1,q,k)
+        q_pos = _q_positions(q_offset, q_len)        # (1 or b, q)
+        k_pos = jnp.arange(kv_len)[None, None, :]
+        mask = (k_pos <= q_pos[:, :, None])[:, None]  # (1 or b, 1, q, k)
         mask = jnp.broadcast_to(mask, (batch, 1, q_len, kv_len))
     if segment_ids_q is not None:
         seg = (segment_ids_q[:, :, None] == segment_ids_kv[:, None, :])[:, None]
         mask = seg if mask is None else (mask & seg)
     return mask
+
+
+def _q_positions(q_offset, q_len: int) -> jax.Array:
+    """Query positions as (1 or b, q). ``q_offset`` may be a scalar or a
+    per-sequence (b,)/(b,1) array (ragged decode against padded caches)."""
+    off = jnp.asarray(q_offset)
+    if off.ndim == 0:
+        return (off + jnp.arange(q_len))[None]
+    off = off.reshape(off.shape[0], -1)[:, :1]
+    return off + jnp.arange(q_len)[None]
 
 
 def mha_reference(
@@ -62,12 +72,15 @@ def mha_reference(
     alibi_slopes: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     q_offset=0,
+    k_positions: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pure-XLA attention. q: (b, sq, h, d); k/v: (b, skv, hkv, d).
 
     ``q_offset`` shifts query positions for decode steps against a longer
-    KV cache. ``alibi_slopes``: (h,) per-head slopes; bias =
-    slope * (k_pos - q_pos), the standard ALiBi causal form.
+    KV cache; it may be per-sequence (b,). ``alibi_slopes``: (h,) per-head
+    slopes; bias = slope * (k_pos - q_pos), the standard ALiBi causal form.
+    ``k_positions`` (b, skv) overrides slot indices as the key positions for
+    the ALiBi bias (ragged caches store keys at slots != positions).
     Softmax in float32 regardless of input dtype.
     """
     b, sq, h, d = q.shape
@@ -83,10 +96,13 @@ def mha_reference(
     ) * scale
 
     if alibi_slopes is not None:
-        q_pos = q_offset + jnp.arange(sq)
-        k_pos = jnp.arange(skv)
-        dist = k_pos[None, :] - q_pos[:, None]  # (q, k) <= 0 in causal region
-        logits = logits + alibi_slopes[None, :, None, None] * dist[None, None]
+        q_pos = _q_positions(q_offset, sq)      # (1 or b, q)
+        if k_positions is not None:
+            k_pos = k_positions[:, None, :]     # (b, 1, k)
+        else:
+            k_pos = jnp.arange(skv)[None, None, :]
+        dist = k_pos - q_pos[:, :, None]        # (1 or b, q, k)
+        logits = logits + alibi_slopes[None, :, None, None] * dist[:, None]
 
     mask = _build_mask(
         sq, skv, causal=causal, q_offset=q_offset,

@@ -30,13 +30,14 @@ _LANES = 128
 
 
 def _paged_kernel(
-    lengths_ref, page_tables_ref,        # scalar prefetch (SMEM)
-    q_ref, k_page_ref, v_page_ref,       # VMEM blocks
+    lengths_ref, page_tables_ref, slopes_ref,   # scalar prefetch (SMEM)
+    q_ref, k_page_ref, v_page_ref,              # VMEM blocks
     out_ref,
     m_scr, l_scr, acc_scr,
-    *, scale: float, page_size: int,
+    *, scale: float, page_size: int, group: int, use_alibi: bool,
 ):
     b = pl.program_id(0)
+    hk = pl.program_id(1)
     pi = pl.program_id(2)
     n_pages = pl.num_programs(2)
     length = lengths_ref[b]
@@ -57,6 +58,12 @@ def _paged_kernel(
 
         k_pos = pi * page_size + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
+        if use_alibi:
+            # per-query-head slopes; the decode token sits at length-1
+            slopes = jnp.stack(
+                [slopes_ref[hk * group + g] for g in range(group)])
+            s = s + slopes[:, None] * (
+                k_pos - (length - 1)).astype(jnp.float32)
         s = jnp.where(k_pos < length, s, NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -86,6 +93,7 @@ def paged_attention(
     lengths: jax.Array,      # (b,) int32 valid tokens per sequence
     page_tables: jax.Array,  # (b, pages_per_seq) int32 physical page ids
     *,
+    alibi_slopes: Optional[jax.Array] = None,   # (h,) per query head
     scale: Optional[float] = None,
 ) -> jax.Array:
     """Decode-step attention over a paged KV cache. Returns (b, h, d)."""
@@ -95,26 +103,29 @@ def paged_attention(
     group = h // hkv
     pages_per_seq = page_tables.shape[1]
     scale = scale if scale is not None else d ** -0.5
+    use_alibi = alibi_slopes is not None
+    if alibi_slopes is None:
+        alibi_slopes = jnp.zeros((h,), jnp.float32)
 
     qg = q.reshape(b, hkv, group, d)
 
     grid = (b, hkv, pages_per_seq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, group, d),
-                         lambda b_, h_, p_, lens, tables: (b_, h_, 0, 0)),
+                         lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
             pl.BlockSpec((1, 1, page_size, d),
-                         lambda b_, h_, p_, lens, tables:
+                         lambda b_, h_, p_, lens, tables, sl:
                          (h_, tables[b_, p_], 0, 0)),
             pl.BlockSpec((1, 1, page_size, d),
-                         lambda b_, h_, p_, lens, tables:
+                         lambda b_, h_, p_, lens, tables, sl:
                          (h_, tables[b_, p_], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, group, d),
-            lambda b_, h_, p_, lens, tables: (b_, h_, 0, 0)),
+            lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((group, _LANES), jnp.float32),
             pltpu.VMEM((group, _LANES), jnp.float32),
@@ -122,18 +133,19 @@ def paged_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_paged_kernel, scale=scale, page_size=page_size),
+        functools.partial(_paged_kernel, scale=scale, page_size=page_size,
+                          group=group, use_alibi=use_alibi),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
-      qg, k_pages, v_pages)
+      alibi_slopes.astype(jnp.float32), qg, k_pages, v_pages)
     return out.reshape(b, h, d)
 
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_tables,
-                              *, scale=None):
+                              *, alibi_slopes=None, scale=None):
     """XLA reference (gather pages then dense attention) for tests/CPU."""
     b, h, d = q.shape
     hkv, _, page_size, _ = k_pages.shape
@@ -151,7 +163,12 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_tables,
     qg = q.reshape(b, hkv, group, d).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhkd->bhgk", qg,
                    k_seq.astype(jnp.float32)) * scale
-    mask = jnp.arange(max_len)[None, :] < lengths[:, None]
+    k_pos = jnp.arange(max_len)
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.reshape(hkv, group)
+        dist = (k_pos[None, :] - (lengths - 1)[:, None]).astype(jnp.float32)
+        s = s + slopes[None, :, :, None] * dist[:, None, None, :]
+    mask = k_pos[None, :] < lengths[:, None]
     s = jnp.where(mask[:, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq.astype(jnp.float32))

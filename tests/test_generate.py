@@ -125,3 +125,37 @@ def test_keyword_helpers():
     assert keyword_hit("hello </s> world", ["</s>"])
     assert not keyword_hit("hello", ["</s>"])
     assert truncate_at_keywords("answer###rest", ["###"]) == "answer"
+
+
+def test_paged_generation_matches_dense():
+    model, params = _model_params()
+    p1 = [5, 17, 33, 41]
+    p2 = [7, 9]
+    batch = np.full((2, 4), PAD, np.int32)
+    batch[0] = p1
+    batch[1, :2] = p2
+    mask = batch != PAD
+    # f32 caches: bf16 rounds differently across the two layouts and a
+    # tiny random model has near-tied logits that flip argmax
+    dense = Generator(model, GenerateConfig(
+        max_new_tokens=6, eos_id=EOS, pad_id=PAD,
+        cache_dtype=jnp.float32))(params, batch, attention_mask=mask)
+    paged = Generator(model, GenerateConfig(
+        max_new_tokens=6, eos_id=EOS, pad_id=PAD, kv_layout="paged",
+        cache_dtype=jnp.float32))(params, batch, attention_mask=mask)
+    assert dense.tolist() == paged.tolist()
+
+
+def test_paged_generation_alibi():
+    cfg = tiny(positional="alibi")
+    model = CausalLM(cfg)
+    ids = jnp.ones((1, 4), jnp.int32)
+    params = nn.unbox(model.init(jax.random.key(3), ids)["params"])
+    prompt = np.asarray([[5, 17, 33, 41]])
+    dense = Generator(model, GenerateConfig(
+        max_new_tokens=5, eos_id=EOS, pad_id=PAD,
+        cache_dtype=jnp.float32))(params, prompt)
+    paged = Generator(model, GenerateConfig(
+        max_new_tokens=5, eos_id=EOS, pad_id=PAD, kv_layout="paged",
+        cache_dtype=jnp.float32))(params, prompt)
+    assert dense.tolist() == paged.tolist()
