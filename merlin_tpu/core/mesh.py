@@ -105,3 +105,21 @@ def create_mesh(config: Optional[MeshConfig] = None,
 def single_device_mesh() -> Mesh:
     """1x1x1x1 mesh over the first device (single-chip eval/serve path)."""
     return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1), MESH_AXES)
+
+
+# --- global mesh context -----------------------------------------------------
+# Pallas kernels have no SPMD partitioning rule: under pjit with sharded
+# operands XLA would all-gather their inputs. Code that launches kernels
+# (ops/attention) consults this context and wraps the kernel in shard_map
+# over the active mesh instead. The trainer/server sets it.
+
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def set_global_mesh(mesh: Optional[Mesh]) -> None:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def get_global_mesh() -> Optional[Mesh]:
+    return _GLOBAL_MESH

@@ -196,14 +196,52 @@ def attention(
         sk_pad = jnp.full((kp.shape[0], kp.shape[1]), -1, jnp.int32)
         segment_ids_kv = sk_pad.at[:, :orig_sk].set(segment_ids_kv + 1)
 
-    out = flash_attention(
-        qp, kp, vp,
-        segment_ids_q=segment_ids_q,
-        segment_ids_kv=segment_ids_kv,
-        alibi_slopes=alibi_slopes,
+    kernel = functools.partial(
+        flash_attention,
         causal=causal,
         scale=scale if scale is not None else d ** -0.5,
         block_q=block_q,
         block_k=block_k,
     )
+
+    # Under a sharded mesh, pallas_call has no SPMD rule (XLA would gather
+    # the operands to every device) — run the kernel per shard via
+    # shard_map: batch over (data, fsdp), heads over tensor. Attention is
+    # embarrassingly parallel across both, so no collectives are needed.
+    from merlin_tpu.core.mesh import get_global_mesh
+
+    mesh = get_global_mesh()
+    wrap = False
+    if mesh is not None:
+        dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+        tp = mesh.shape.get("tensor", 1)
+        h, hkv = qp.shape[2], kp.shape[2]
+        wrap = (dp * tp > 1 and qp.shape[0] % dp == 0
+                and h % tp == 0 and hkv % tp == 0)
+    if wrap:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        qkv_spec = P(("data", "fsdp"), None, "tensor", None)
+        seg_spec = P(("data", "fsdp"), None)
+
+        def sharded(q_, k_, v_, sq_, skv_, slopes_):
+            return kernel(q_, k_, v_, segment_ids_q=sq_, segment_ids_kv=skv_,
+                          alibi_slopes=slopes_)
+
+        if segment_ids_q is None:
+            segment_ids_q = jnp.ones(qp.shape[:2], jnp.int32)
+            segment_ids_kv = jnp.ones(kp.shape[:2], jnp.int32)
+        slopes = (alibi_slopes if alibi_slopes is not None
+                  else jnp.zeros((qp.shape[2],), jnp.float32))
+        out = shard_map(
+            sharded, mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec, seg_spec,
+                      P("tensor")),
+            out_specs=qkv_spec, check_rep=False,
+        )(qp, kp, vp, segment_ids_q, segment_ids_kv, slopes)
+    else:
+        out = kernel(qp, kp, vp, segment_ids_q=segment_ids_q,
+                     segment_ids_kv=segment_ids_kv,
+                     alibi_slopes=alibi_slopes)
     return out[:, :orig_sq]

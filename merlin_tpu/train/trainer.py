@@ -64,6 +64,8 @@ class Trainer:
             data=training_args.mesh_data, fsdp=training_args.mesh_fsdp,
             seq=training_args.mesh_seq, tensor=training_args.mesh_tensor,
             dcn_data_parallelism=training_args.dcn_data_parallelism))
+        from merlin_tpu.core.mesh import set_global_mesh
+        set_global_mesh(self.mesh)  # lets kernels shard_map themselves
         n_vit = bundle.config.vit.num_layers
         n_llm = bundle.config.lm.num_layers
         self.tx, self.schedule = build_optimizer(
