@@ -20,3 +20,15 @@ Layer map (bottom -> top):
 """
 
 __version__ = "0.1.0"
+
+
+def build_model_tokenizer(*args, **kwargs):
+    """Public entry (reference model/builder.py:18 signature family)."""
+    from merlin_tpu.models.builder import build_model_tokenizer as f
+    return f(*args, **kwargs)
+
+
+def train(*args, **kwargs):
+    """Public entry (reference engine/train/train.py:32)."""
+    from merlin_tpu.engine.train import train as f
+    return f(*args, **kwargs)
