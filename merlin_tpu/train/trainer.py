@@ -126,10 +126,10 @@ class Trainer:
             flops_per_step=train_step_flops(
                 n_params, tokens_per_step, args.gradient_checkpointing))
 
+        batches = self._device_prefetch(batches, accum)
         t0 = time.perf_counter()
         for step in range(start_step, total):
             batch = next(batches)
-            batch = stack_microbatches(batch, accum)
             self.state, metrics = self._train_step(self.state, batch)
 
             if args.logging_steps and (step + 1) % args.logging_steps == 0:
@@ -151,6 +151,21 @@ class Trainer:
                                             "seed": args.seed},
                                 save_total_limit=args.save_total_limit)
         return last_metrics
+
+    def _device_prefetch(self, batches, accum: int, depth: int = 2):
+        """Stack microbatches and device_put ahead of consumption so H2D
+        transfer overlaps the previous step (the reference relies on torch
+        DataLoader pin_memory + workers for this)."""
+        import collections
+
+        sharding = NamedSharding(self.mesh, P(None, ("data", "fsdp")))
+        queue = collections.deque()
+        for batch in batches:
+            batch = stack_microbatches(batch, accum)
+            queue.append(jax.device_put(batch, sharding))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        yield from queue
 
     def save_final(self):
         return save_checkpoint(
