@@ -93,6 +93,7 @@ def build_dataloader(tokenizer, special_ids, data_args, training_args,
     collator = Collator(
         pad_id=tokenizer.pad_token_id,
         max_length=training_args.model_max_length,
+        max_images=getattr(data_args, "max_images", None),
         image_size=data_args.image_size,
         use_packing_segments=getattr(training_args, "packing_segment_mask",
                                      False))

@@ -41,6 +41,9 @@ class DataArguments:
     image_aspect_ratio: str = "resize"          # keep|pad|resize|none
     num_patches: int = 256
     box_limit: int = 30
+    # fixed image slots per sample in a batch (static shapes; samples with
+    # more images are clipped, fewer pad with zero images)
+    max_images: int = 8
     is_multimodal: bool = True
     use_beam_search: bool = False
     # eval
@@ -59,6 +62,7 @@ class TrainingArguments:
     adam_beta2: float = 0.95
     adam_epsilon: float = 1e-8
     weight_decay: float = 0.05
+    max_grad_norm: float = 1.0
     warmup_ratio: float = 0.01
     lr_scheduler_type: str = "cosine"
     num_train_steps: int = 10000

@@ -123,9 +123,11 @@ def mask_embedding_rows(row_mask: Optional[np.ndarray]
 def build_optimizer(args, *, n_vit_layers: int = 24, n_llm_layers: int = 32,
                     trainable_fn: Optional[Callable] = None,
                     embed_row_mask: Optional[np.ndarray] = None,
-                    max_grad_norm: float = 1.0
+                    max_grad_norm: Optional[float] = None
                     ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     schedule = make_lr_schedule(args)
+    if max_grad_norm is None:
+        max_grad_norm = getattr(args, "max_grad_norm", 1.0)
 
     def scale_fn(names):
         return lr_scale_for_path(

@@ -145,3 +145,25 @@ def test_lora_training_moves_only_factors():
     # factors actually moved
     first = sorted(lora)[0]
     assert np.abs(np.asarray(lora[first]["b"])).max() > 0
+
+
+def test_qwen_tower_with_resampler_end_to_end():
+    """vision_kind='qwen' + resampler projector through MMGPT."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from merlin_tpu.models.families import tiny as tiny_lm
+    from merlin_tpu.models.mmgpt import MMGPT, MMGPTConfig
+    from merlin_tpu.models.vit import tiny_vit
+
+    vit = dataclasses.replace(tiny_vit(), use_class_token=False)
+    cfg = MMGPTConfig(lm=tiny_lm(), vit=vit, projector="resampler",
+                      vision_kind="qwen", image_patch_id=100,
+                      im_start_id=101, im_end_id=102)
+    assert cfg.image_token_len == 256
+    model = MMGPT(cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    images = jnp.zeros((1, 1, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), ids, images=images)
+    logits, _ = model.apply(variables, ids, images=images)
+    assert logits.shape == (1, 8, cfg.lm.vocab_size)
