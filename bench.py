@@ -144,6 +144,67 @@ def bench_vit_encode(frames: int = 8):
 A100_REFERENCE_VIT_FPS = 90.0
 
 
+def bench_train_step():
+    """Full training step (fwd+bwd+AdamW, remat, bs4 x 2048) on a 0.44B
+    decoder. Returns (tokens/s, mfu_6nd, hw_util_8nd)."""
+    import optax
+    from merlin_tpu.models.decoder import (
+        CausalLM, DecoderConfig, cross_entropy_loss)
+    from merlin_tpu.train.arguments import TrainingArguments
+    from merlin_tpu.train.optimizer import build_optimizer
+    from merlin_tpu.train.step import TrainState
+
+    cfg = DecoderConfig(
+        vocab_size=32000, hidden_size=1536, intermediate_size=4096,
+        num_layers=12, num_heads=12, max_position_embeddings=2048,
+        dtype=jnp.bfloat16, remat=True)
+    model = CausalLM(cfg)
+    params = materialize_params(model, jnp.zeros((1, 8), jnp.int32),
+                                dtype=jnp.bfloat16)
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    targs = TrainingArguments(learning_rate=1e-4, warmup_ratio=0.0,
+                              num_train_steps=100)
+    tx, _ = build_optimizer(targs, n_vit_layers=0,
+                            n_llm_layers=cfg.num_layers)
+
+    def loss_fn(p, b):
+        logits, _ = model.apply({"params": p}, b["input_ids"],
+                                segment_ids=b["attention_mask"])
+        return cross_entropy_loss(logits, b["labels"])[0]
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def train_step(state, batch):
+        loss, grads = grad_fn(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            opt_state=opt_state), loss
+
+    B, S = 4, 2048
+    rng = np.random.default_rng(0)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(5, 31000, (B, S)), jnp.int32),
+        labels=jnp.asarray(rng.integers(5, 31000, (B, S)), jnp.int32),
+        attention_mask=jnp.ones((B, S), jnp.int32))
+    state = TrainState.create(params, tx)
+    state, loss = train_step(state, batch)
+    float(loss)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, loss = train_step(state, batch)
+    float(loss)
+    dt = (time.perf_counter() - t0) / n
+    tokens = B * S
+    peak = 197e12
+    return (tokens / dt,
+            6 * n_params * tokens / dt / peak,
+            8 * n_params * tokens / dt / peak)
+
+
 def main():
     details = {}
     tps, ttft_ms = bench_decode()
@@ -155,6 +216,13 @@ def main():
         details["vit_vs_2x_a100"] = round(fps / (2 * A100_REFERENCE_VIT_FPS), 3)
     except Exception as e:  # keep the primary metric robust
         details["vit_encode_error"] = str(e)
+    try:
+        tps_train, mfu6, util8 = bench_train_step()
+        details["train_step_tokens_per_sec_044b"] = round(tps_train)
+        details["train_mfu_6nd"] = round(mfu6, 3)
+        details["train_hw_util_8nd_remat"] = round(util8, 3)
+    except Exception as e:
+        details["train_bench_error"] = str(e)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=1)

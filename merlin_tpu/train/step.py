@@ -67,19 +67,21 @@ def make_train_step(model, tx, *, mesh: Optional[Mesh] = None,
                     x, NamedSharding(mesh, P(None, ("data", "fsdp")))),
                 batch)
 
-        def accum(carry, micro):
-            loss_sum, grads_sum = carry
-            loss, grads = grad_fn(state.params, micro)
-            grads_sum = jax.tree.map(jnp.add, grads_sum, grads)
-            return (loss_sum + loss, grads_sum), None
-
+        # Unrolled accumulation: lax.scan with the full gradient tree as
+        # carry is ~19x slower on TPU (measured 3.3s vs 176ms/step at 0.44B
+        # params — the tree-carry defeats buffer aliasing); a python loop
+        # unrolls into a serial chain XLA schedules with one live grads
+        # buffer.
         n_accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
-        zero_grads = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-        (loss_sum, grads), _ = jax.lax.scan(
-            accum, (jnp.zeros((), jnp.float32), zero_grads), batch)
+        loss_sum = jnp.zeros((), jnp.float32)
+        grads = None
+        for i in range(n_accum):
+            micro = jax.tree.map(lambda x: x[i], batch)
+            loss, g = grad_fn(state.params, micro)
+            loss_sum = loss_sum + loss
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
         inv = 1.0 / n_accum
-        grads = jax.tree.map(lambda g: g * inv, grads)
+        grads = jax.tree.map(lambda g_: g_ * inv, grads)
         loss = loss_sum * inv
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
