@@ -1,0 +1,121 @@
+"""Benchmark harnesses end-to-end over synthetic files with the tiny model:
+MMBench TSV (base64 images + circular shifts), MM-Vet JSON, DocVQA JSON,
+and the tracking loop over a synthetic LaSOT-layout video."""
+
+import base64
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    from merlin_tpu.models.builder import (
+        build_model_tokenizer, init_or_load_params)
+    from merlin_tpu.train.arguments import (
+        DataArguments, ModelArguments, TrainingArguments)
+
+    b = build_model_tokenizer(
+        ModelArguments(), DataArguments(image_size=16),
+        TrainingArguments(gradient_checkpointing=False, model_max_length=256),
+        tiny=True)
+    init_or_load_params(b)
+    return b
+
+
+def _b64_image(color=(200, 10, 10)):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (24, 24), color).save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_mmbench_harness(tmp_path, bundle):
+    import pandas as pd
+    from merlin_tpu.eval import mmbench
+    from merlin_tpu.eval.runner import EvalConfig
+
+    rows = []
+    for main_idx, answer in [(1, "A"), (2, "B")]:
+        for shift in (0, 1):
+            rows.append({
+                "index": main_idx + shift * int(1e6),
+                "question": f"what color is q{main_idx}",
+                "hint": "a hint" if main_idx == 1 else float("nan"),
+                "A": "red", "B": "blue", "C": "green",
+                "answer": "AB"[(("AB".index(answer)) + shift) % 2],
+                "category": "color", "l2-category": "perception",
+                "image": _b64_image(),
+            })
+    tsv = tmp_path / "mmbench_dev.tsv"
+    pd.DataFrame(rows).to_csv(tsv, sep="\t", index=False)
+
+    out = tmp_path / "mmbench.json"
+    result = mmbench.run(bundle, str(tsv), str(out),
+                         EvalConfig(max_new_tokens=4), score=True)
+    assert os.path.exists(out)
+    assert "overall" in result and 0.0 <= result["overall"] <= 1.0
+    preds = json.load(open(out))
+    assert len(preds) == 4 and all("prediction" in p for p in preds)
+    assert os.path.exists(str(out).replace(".json", "_scores.json"))
+
+
+def test_mmvet_harness(tmp_path, bundle):
+    from PIL import Image
+    from merlin_tpu.eval import mmvet
+    from merlin_tpu.eval.runner import EvalConfig
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    Image.new("RGB", (20, 20)).save(img_dir / "v1_0.jpg")
+    qfile = tmp_path / "mmvet.json"
+    qfile.write_text(json.dumps({
+        "v1_0": {"imagename": "v1_0.jpg", "question": "what is this?"}}))
+    out = tmp_path / "out.json"
+    answers = mmvet.run(bundle, str(qfile), str(img_dir), str(out),
+                        EvalConfig(max_new_tokens=4))
+    assert "v1_0" in answers and os.path.exists(out)
+
+
+def test_docvqa_harness(tmp_path, bundle):
+    from PIL import Image
+    from merlin_tpu.eval import docvqa
+    from merlin_tpu.eval.runner import EvalConfig
+
+    img_dir = tmp_path / "docs"
+    img_dir.mkdir()
+    Image.new("RGB", (20, 20)).save(img_dir / "d0.png")
+    qfile = tmp_path / "docvqa.json"
+    qfile.write_text(json.dumps({"data": [
+        {"questionId": 7, "question": "total amount?", "image": "d0.png",
+         "answers": ["$42", "42 dollars"]}]}))
+    out = tmp_path / "preds.json"
+    scores = docvqa.run(bundle, str(qfile), str(img_dir), str(out),
+                        EvalConfig(max_new_tokens=4))
+    assert scores["n"] == 1
+    assert 0.0 <= scores["overall"] <= 1.0
+
+
+def test_tracking_harness(tmp_path, bundle):
+    from PIL import Image
+    from merlin_tpu.eval import tracking
+    from merlin_tpu.eval.runner import EvalConfig
+
+    vdir = tmp_path / "videos" / "cat-1"
+    (vdir / "img").mkdir(parents=True)
+    for i in range(3):
+        Image.new("RGB", (48, 32), (i * 40, 80, 20)).save(
+            vdir / "img" / f"{i:08d}.jpg")
+    (vdir / "groundtruth.txt").write_text(
+        "4,4,16,12\n6,5,16,12\n8,6,16,12\n")
+
+    out = tmp_path / "track_out"
+    summary = tracking.run(bundle, str(tmp_path / "videos"), str(out),
+                           EvalConfig(max_new_tokens=24), max_frames=3)
+    assert summary["videos"] == 1
+    assert 0.0 <= summary["mean_iou"] <= 1.0
+    assert os.path.exists(out / "cat-1_pred.pkl")
