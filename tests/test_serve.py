@@ -113,3 +113,26 @@ def test_stale_worker_expiry(stack):
     # re-register for any later tests
     stack["worker_obj"].register()
     assert name in ctrl.workers
+
+
+def test_engine_backed_worker_streams(tiny_bundle):
+    """Worker with continuous batching serves concurrent text requests."""
+    import concurrent.futures
+
+    worker = worker_mod.ModelWorker(
+        tiny_bundle, worker_address="local", controller_address=None,
+        use_engine=True, engine_slots=2, engine_max_len=64)
+    try:
+        def one(i):
+            chunks = list(worker.generate_stream({
+                "prompt": f"hello number {i}", "temperature": 0.0,
+                "max_new_tokens": 4, "stop": "</s>"}))
+            assert chunks and all(
+                json.loads(c[:-1])["error_code"] == 0 for c in chunks)
+            return json.loads(chunks[-1][:-1])["text"]
+
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            results = list(ex.map(one, range(3)))
+        assert len(results) == 3
+    finally:
+        worker.stop()
