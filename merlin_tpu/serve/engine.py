@@ -46,7 +46,9 @@ class ServingEngine:
     def __init__(self, model, params, *, num_slots: int = 4,
                  max_len: int = 2048, eos_id: int = 2, pad_id: int = 0,
                  prompt_bucket: int = 128, page_size: int = 128,
-                 cache_dtype=jnp.bfloat16, rng_seed: int = 0):
+                 cache_dtype=jnp.bfloat16, rng_seed: int = 0,
+                 chunk_steps: int = 8):
+        self.chunk_steps = max(int(chunk_steps), 1)
         self.model = model
         self.params = params
         self.num_slots = num_slots
@@ -97,7 +99,7 @@ class ServingEngine:
             lengths = lengths.at[slot].set(small_lengths[0])
             return new_layers, lengths
 
-        def decode(params, tokens, cache, active, rng, temps):
+        def decode_one(params, tokens, cache, active, rng, temps):
             lengths = cache["lengths"]
             logits, new_cache = model.apply(
                 {"params": params}, tokens[:, None],
@@ -114,9 +116,25 @@ class ServingEngine:
                 active, new_cache["lengths"], lengths)
             return out, new_cache
 
+        def decode_chunk(params, tokens, cache, active, rng, temps):
+            """`chunk_steps` decode steps in one jitted scan — one host
+            round-trip per chunk, not per token (the per-token sync
+            dominates behind a remote-dispatch tunnel)."""
+            def body(carry, step_rng):
+                toks, cache_ = carry
+                out, cache_ = decode_one(params, toks, cache_, active,
+                                         step_rng, temps)
+                return (out, cache_), out
+
+            rngs = jax.random.split(rng, self.chunk_steps)
+            (last, cache), all_toks = jax.lax.scan(
+                body, (tokens, cache), rngs)
+            return all_toks.T, last, cache  # (slots, chunk_steps)
+
         self._prefill = jax.jit(prefill)
         self._insert = jax.jit(insert, donate_argnums=(0,))
-        self._decode = jax.jit(decode, donate_argnums=(2,))
+        self._decode = jax.jit(decode_one, donate_argnums=(2,))
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
     def submit(self, input_ids, *, max_new_tokens: int = 128,
@@ -162,14 +180,18 @@ class ServingEngine:
                     next_logits[0] / req.temperature))
             self.slots[slot] = req
             self._slot_tokens[slot] = tok
+            self._slot_len[slot] = int(length[0])
             self._record(slot, tok)
 
     def _record(self, slot: int, token: int):
         req = self.slots[slot]
         req.generated.append(int(token))
+        self._slot_len[slot] += 1
+        # chunk_steps safety margin: the cache may run ahead of the
+        # recorded tokens by up to one chunk before the slot frees
         done = (token == self.eos_id
                 or len(req.generated) >= req.max_new_tokens
-                or int(self.cache["lengths"][slot]) + 1 >= self.max_len)
+                or self._slot_len[slot] + self.chunk_steps + 1 >= self.max_len)
         if req.emit:
             req.emit(int(token), done)
         if done:
@@ -178,10 +200,12 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
     def step(self) -> int:
-        """Admit waiting requests, run one decode step for active slots.
+        """Admit waiting requests, decode `chunk_steps` tokens for all
+        active slots in one jitted call (one host round-trip per chunk).
         Returns the number of active slots processed."""
         if not hasattr(self, "_slot_tokens"):
             self._slot_tokens = np.zeros(self.num_slots, np.int32)
+            self._slot_len = np.zeros(self.num_slots, np.int64)
         self._admit()
         active_mask = np.asarray(
             [r is not None for r in self.slots], bool)
@@ -190,14 +214,18 @@ class ServingEngine:
         temps = np.asarray(
             [r.temperature if r else 0.0 for r in self.slots], np.float32)
         self._rng, sub = jax.random.split(self._rng)
-        tokens, self.cache = self._decode(
+        chunk, last, self.cache = self._decode_chunk(
             self.params, jnp.asarray(self._slot_tokens),
             self.cache, jnp.asarray(active_mask), sub, jnp.asarray(temps))
-        tokens = np.asarray(tokens)
+        chunk = np.asarray(chunk)          # (slots, chunk_steps)
+        self._slot_tokens = np.array(last)
         for slot in range(self.num_slots):
-            if active_mask[slot] and self.slots[slot] is not None:
-                self._slot_tokens[slot] = tokens[slot]
-                self._record(slot, tokens[slot])
+            if not active_mask[slot]:
+                continue
+            for tok in chunk[slot]:
+                self._record(slot, tok)
+                if self.slots[slot] is None:
+                    break  # finished mid-chunk; rest of the chunk is void
         return int(active_mask.sum())
 
     def run_until_idle(self, max_steps: int = 100000):
