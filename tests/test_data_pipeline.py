@@ -247,3 +247,47 @@ def test_length_grouped_sampler_epochs_differ():
     s.set_epoch(1)
     b = list(iter(s))
     assert sorted(a) == sorted(b) == list(range(8))
+
+
+def _make_interleave_shard(path, n=4):
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            members = {
+                "0.jpg": _jpg_bytes((10, 200, 10)),
+                "json": json.dumps({
+                    "text_list": ["first paragraph", "second paragraph"],
+                    "image_info": [
+                        {"image_name": f"{i:06d}-0.jpg", "matched_sim": 0.9,
+                         "matched_text_index": 1},
+                        {"image_name": f"{i:06d}-1.jpg", "matched_sim": 0.1,
+                         "matched_text_index": 0},  # below 0.25: filtered
+                    ],
+                }).encode(),
+            }
+            for ext, data in members.items():
+                info = tarfile.TarInfo(f"{i:06d}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+
+def test_interleave_end_to_end(tmp_path, tok_ids):
+    from merlin_tpu.data.webdatasets import InterleaveWebDataset
+
+    tok, ids, _ = tok_ids
+    shard = tmp_path / "inter.tar"
+    _make_interleave_shard(shard)
+    spec = registry.WebdataSpec(path=str(shard), size=4, merge_round=1)
+    ds = InterleaveWebDataset("synthetic", tok, ids,
+                              MultimodalCfg(image_token_len=2, image_size=16),
+                              model_max_length=128, spec=spec)
+    sample = ds[0]
+    # one image passed the similarity filter; inserted before text index 1
+    assert sample["num_images"] == 1
+    assert (sample["input_ids"] == ids.image_patch).sum() == 2
+    text = tok.decode(sample["input_ids"])
+    assert text.index("first") < text.index("<im_start>") < text.index("second")
+    # image tokens masked in labels, real text kept
+    from merlin_tpu.utils.constants import IGNORE_INDEX
+    lab = sample["labels"]
+    kept = [tok._inv[i] for i in sample["input_ids"][lab != IGNORE_INDEX].tolist()]
+    assert "paragraph" in kept and "<im_patch>" not in kept
