@@ -10,12 +10,9 @@ there.
 
 from __future__ import annotations
 
-import itertools
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence
-
-import numpy as np
 
 from merlin_tpu.data.collator import Collator
 from merlin_tpu.data.conversation_dataset import ConversationDataset

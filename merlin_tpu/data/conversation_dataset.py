@@ -34,7 +34,7 @@ from merlin_tpu.data.packing import (
 from merlin_tpu.data.webdatasets import MultimodalCfg
 from merlin_tpu.utils import constants as C
 from merlin_tpu.utils.constants import IGNORE_INDEX
-from merlin_tpu.utils.conversation import SeparatorStyle, conv_vicuna_v1
+from merlin_tpu.utils.conversation import conv_vicuna_v1
 
 logger = logging.getLogger("merlin_tpu.data")
 

@@ -9,7 +9,6 @@ uint8 HWC arrays; rescale+normalize happen on-device through
 from __future__ import annotations
 
 import io
-import os
 from typing import Optional, Tuple
 
 import numpy as np

@@ -11,8 +11,7 @@ selection normalizes by length**length_penalty (HF default semantics).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ out right padding, while RoPE positions advance per-sequence.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Iterator, Optional, Sequence, Tuple
 
 import jax

@@ -30,7 +30,6 @@ from flax import linen as nn
 
 from merlin_tpu.models.decoder import CausalLM, DecoderConfig, cross_entropy_loss
 from merlin_tpu.models.projectors import build_projector
-from merlin_tpu.models.vit import CLIPVisionTower, ViTConfig
 from merlin_tpu.utils.constants import IGNORE_INDEX
 
 

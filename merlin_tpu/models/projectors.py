@@ -17,7 +17,6 @@ from __future__ import annotations
 import math
 from typing import Any, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

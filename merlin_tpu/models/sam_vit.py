@@ -16,7 +16,6 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from merlin_tpu.models.layers import DenseGeneral, SimpleMLP

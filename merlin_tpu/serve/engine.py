@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from merlin_tpu.models.decoder import init_kv_cache
-from merlin_tpu.ops.sampling import sample_token
 
 
 @dataclasses.dataclass

@@ -3,8 +3,6 @@ test_message.py, both broken-as-shipped there)."""
 
 from __future__ import annotations
 
-import json
-
 from merlin_tpu.serve.cli import stream_request
 from merlin_tpu.serve.protocol import http_json
 from merlin_tpu.utils.conversation import conv_templates

@@ -8,7 +8,7 @@ when available, plain argparse otherwise).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 

@@ -2,7 +2,8 @@
 
 TPU-first layout: one jitted function per optimizer step. Microbatches for
 gradient accumulation arrive stacked on a leading axis and are consumed by
-``lax.scan`` (compiled once, no Python loop). Batches enter as uint8 images
+an unrolled loop inside jit (see the note in make_train_step on why not
+lax.scan). Batches enter as uint8 images
 + int32 tokens; normalization runs on device so it fuses with the tower's
 first conv (BASELINE north star). Sharding comes from the logical-axis
 rules — the train step itself never names a mesh axis except for the batch
@@ -11,7 +12,6 @@ constraint.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -8,13 +8,11 @@ save/rotate/auto-resume (incl. data-iterator state), final save.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from typing import Any, Dict, Iterator, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
