@@ -291,3 +291,26 @@ def test_interleave_end_to_end(tmp_path, tok_ids):
     lab = sample["labels"]
     kept = [tok._inv[i] for i in sample["input_ids"][lab != IGNORE_INDEX].tolist()]
     assert "paragraph" in kept and "<im_patch>" not in kept
+
+
+def test_conversation_merge_round(tmp_path, tok_ids):
+    """merge_round chunks consecutive samples' conversations together
+    (base_dataset.py:102-140 behavior)."""
+    tok, ids, _ = tok_ids
+    ann = [{"conversations": [
+        {"from": "human", "value": f"q{i}"},
+        {"from": "gpt", "value": f"a{i}"}]} for i in range(4)]
+    ann_path = tmp_path / "merge.json"
+    ann_path.write_text(json.dumps(ann))
+    registry.register("conversation", "synthetic_merge",
+                      registry.ConversationSpec(
+                          annotations=str(ann_path), images="",
+                          merge_round=2))
+    ds = ConversationDataset(
+        "synthetic_merge", tok, ids,
+        MultimodalCfg(image_token_len=2, image_size=16),
+        model_max_length=128, instruction_offset=-1)
+    assert len(ds) == 2  # 4 samples -> 2 merged
+    s = ds[0]
+    text = tok.decode(s["input_ids"])
+    assert "q0" in text and "a0" in text and "q1" in text and "a1" in text

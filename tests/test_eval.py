@@ -161,3 +161,27 @@ def test_eval_model_beam_smoke():
     model = EvalModel(bundle, EvalConfig(max_new_tokens=4, num_beams=3))
     out = model.ask("hello there", [])
     assert isinstance(out, str)
+
+
+def test_box_golden_case_prompts():
+    """The reference's hard-coded golden prompts (eval_box.py:278-284) build
+    valid multimodal prompts through the shared runner."""
+    from merlin_tpu.eval.box_eval import GOLDEN_CASES
+    from merlin_tpu.eval.runner import EvalConfig, EvalModel
+    from merlin_tpu.models.builder import (
+        build_model_tokenizer, init_or_load_params)
+    from merlin_tpu.train.arguments import (
+        DataArguments, ModelArguments, TrainingArguments)
+
+    bundle = build_model_tokenizer(
+        ModelArguments(), DataArguments(image_size=16),
+        TrainingArguments(gradient_checkpointing=False, model_max_length=256),
+        tiny=True)
+    init_or_load_params(bundle)
+    model = EvalModel(bundle, EvalConfig(max_new_tokens=2))
+    for case in GOLDEN_CASES:
+        n_imgs = case.count("<image>") or 1
+        prompt = model.build_prompt(case, num_images=n_imgs)
+        assert "<image>" not in prompt
+        assert prompt.count("<im_start>") == n_imgs
+        assert prompt.endswith("ASSISTANT:")
