@@ -37,6 +37,9 @@ class ViTConfig:
     activation: str = "quick_gelu"
     use_class_token: bool = True
     use_pre_layernorm: bool = True
+    # 'learned' (CLIP) or 'sincos2d' (Qwen-VL get_abs_pos: fixed 2D sin-cos
+    # table recomputed for the current grid, so any resolution works)
+    pos_embed: str = "learned"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -69,13 +72,13 @@ def metaclip_vit_h14(image_size: int = 448, **kw) -> ViTConfig:
 
 def qwen_vit_bigG(image_size: int = 448, **kw) -> ViTConfig:
     """Qwen-VL ViT-bigG geometry (qwen_nosampler_encoder.py:430-438):
-    1664-wide, 48 layers, patch 14, no CLS token. The reference interpolates
-    2D-sincos absolute positions (get_abs_pos:28-44); here positions are a
-    learned table interpolated at load (interpolate_pos_embedding)."""
+    1664-wide, 48 layers, patch 14, no CLS token, fixed 2D-sincos absolute
+    positions recomputed for the current grid (the reference's
+    get_abs_pos:28-44 interpolation becomes unnecessary)."""
     return ViTConfig(hidden_size=1664, num_layers=48, num_heads=16,
                      intermediate_size=8192, patch_size=14,
                      image_size=image_size, activation="gelu",
-                     use_class_token=False, **kw)
+                     use_class_token=False, pos_embed="sincos2d", **kw)
 
 
 def tiny_vit(**kw) -> ViTConfig:
@@ -143,12 +146,22 @@ class ViT(nn.Module):
             cls = jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.hidden_size))
             x = jnp.concatenate([cls, x], axis=1)
 
-        pos = self.param(
-            "position_embedding",
-            nn.with_logical_partitioning(
-                nn.initializers.normal(0.02), ("vit_patches", "vit_embed")),
-            (cfg.num_positions, cfg.hidden_size), jnp.float32)
-        x = x + pos[None].astype(cfg.dtype)
+        if cfg.pos_embed == "sincos2d":
+            from merlin_tpu.models.projectors import _sincos_2d_pos_embed
+
+            grid_pos = jnp.asarray(
+                _sincos_2d_pos_embed(cfg.hidden_size, cfg.grid_size))
+            if cfg.use_class_token:
+                grid_pos = jnp.concatenate(
+                    [jnp.zeros((1, cfg.hidden_size), jnp.float32), grid_pos])
+            x = x + grid_pos[None].astype(cfg.dtype)
+        else:
+            pos = self.param(
+                "position_embedding",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(0.02), ("vit_patches", "vit_embed")),
+                (cfg.num_positions, cfg.hidden_size), jnp.float32)
+            x = x + pos[None].astype(cfg.dtype)
 
         if cfg.use_pre_layernorm:
             x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype,

@@ -167,3 +167,22 @@ def test_qwen_tower_with_resampler_end_to_end():
     variables = model.init(jax.random.key(0), ids, images=images)
     logits, _ = model.apply(variables, ids, images=images)
     assert logits.shape == (1, 8, cfg.lm.vocab_size)
+
+
+def test_sincos2d_positions():
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from merlin_tpu.models.vit import ViT, tiny_vit
+
+    cfg = dataclasses.replace(tiny_vit(), use_class_token=False,
+                              pos_embed="sincos2d")
+    model = ViT(cfg)
+    pixels = jnp.ones((1, 16, 16, 3))
+    variables = model.init(jax.random.key(0), pixels)
+    assert "position_embedding" not in variables["params"]
+    out = model.apply(variables, pixels)
+    assert out[-1].shape == (1, cfg.num_patches, cfg.hidden_size)
+    # positions are non-trivial: two different patches differ pre-attention
+    h0 = out[0]
+    assert float(jnp.abs(h0[0, 0] - h0[0, 1]).max()) > 0
