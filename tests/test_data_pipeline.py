@@ -314,3 +314,18 @@ def test_conversation_merge_round(tmp_path, tok_ids):
     s = ds[0]
     text = tok.decode(s["input_ids"])
     assert "q0" in text and "a0" in text and "q1" in text and "a1" in text
+
+
+def test_split_by_host_and_worker():
+    from merlin_tpu.data.shards import split_by_host, split_by_worker
+
+    shards = [f"s{i}" for i in range(12)]
+    h0 = list(split_by_host(iter(shards), process_index=0, process_count=3))
+    h1 = list(split_by_host(iter(shards), process_index=1, process_count=3))
+    h2 = list(split_by_host(iter(shards), process_index=2, process_count=3))
+    assert sorted(h0 + h1 + h2) == sorted(shards)  # partition
+    assert not (set(h0) & set(h1))                 # disjoint
+    w0 = list(split_by_worker(iter(h0), worker_id=0, num_workers=2))
+    w1 = list(split_by_worker(iter(h0), worker_id=1, num_workers=2))
+    assert sorted(w0 + w1) == sorted(h0)
+
