@@ -176,6 +176,143 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_tables,
 
 
 # ---------------------------------------------------------------------------
+# int8-quantized pages (halves the page-load bandwidth; guide §13 pattern)
+# ---------------------------------------------------------------------------
+
+def quantize_pages(pages: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(hkv, P, page, d) float -> (int8 values, scales (hkv, P, page, 1)).
+
+    Per-token-row absmax scaling: each cached token's d-vector gets one
+    scale, so dequantization is a broadcast multiply.
+    """
+    absmax = jnp.max(jnp.abs(pages.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+    scales = jnp.maximum(absmax / 127.0, 1e-8)
+    values = jnp.clip(jnp.round(pages.astype(jnp.float32) / scales),
+                      -127, 127).astype(jnp.int8)
+    return values, scales.astype(jnp.float32)
+
+
+def dequantize_pages(values: jax.Array, scales: jax.Array,
+                     dtype=jnp.bfloat16) -> jax.Array:
+    return (values.astype(jnp.float32) * scales).astype(dtype)
+
+
+def _paged_q8_kernel(
+    lengths_ref, page_tables_ref, slopes_ref,
+    q_ref, k_page_ref, k_scale_ref, v_page_ref, v_scale_ref,
+    out_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, page_size: int, group: int, use_alibi: bool,
+):
+    b = pl.program_id(0)
+    hk = pl.program_id(1)
+    pi = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    length = lengths_ref[b]
+
+    @pl.when(pi == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(pi * page_size < length)
+    def _compute():
+        q = q_ref[0, 0]
+        # dequantize in VMEM: int8 payload rode the DMA, not floats
+        k = (k_page_ref[0, 0].astype(jnp.float32)
+             * k_scale_ref[0, 0]).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        k_pos = pi * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        if use_alibi:
+            slopes = jnp.stack(
+                [slopes_ref[hk * group + g] for g in range(group)])
+            s = s + slopes[:, None] * (
+                k_pos - (length - 1)).astype(jnp.float32)
+        s = jnp.where(k_pos < length, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        v = (v_page_ref[0, 0].astype(jnp.float32)
+             * v_scale_ref[0, 0]).astype(q.dtype)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(pi == n_pages - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_scr[:] / l).astype(out_ref.dtype)
+
+
+def paged_attention_quantized(
+    q: jax.Array,
+    k_values: jax.Array, k_scales: jax.Array,
+    v_values: jax.Array, v_scales: jax.Array,
+    lengths: jax.Array, page_tables: jax.Array, *,
+    alibi_slopes: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Decode attention over int8 pages + per-token scales (b, h, d) out."""
+    b, h, d = q.shape
+    hkv, total_pages, page_size, _ = k_values.shape
+    group = h // hkv
+    pages_per_seq = page_tables.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    use_alibi = alibi_slopes is not None
+    if alibi_slopes is None:
+        alibi_slopes = jnp.zeros((h,), jnp.float32)
+
+    qg = q.reshape(b, hkv, group, d)
+    page_block = pl.BlockSpec(
+        (1, 1, page_size, d),
+        lambda b_, h_, p_, lens, tables, sl: (h_, tables[b_, p_], 0, 0))
+    scale_block = pl.BlockSpec(
+        (1, 1, page_size, 1),
+        lambda b_, h_, p_, lens, tables, sl: (h_, tables[b_, p_], 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hkv, pages_per_seq),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, d),
+                         lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
+            page_block, scale_block, page_block, scale_block,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group, d),
+            lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group, _LANES), jnp.float32),
+            pltpu.VMEM((group, _LANES), jnp.float32),
+            pltpu.VMEM((group, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_q8_kernel, scale=scale, page_size=page_size,
+                          group=group, use_alibi=use_alibi),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      alibi_slopes.astype(jnp.float32), qg, k_values, k_scales,
+      v_values, v_scales)
+    return out.reshape(b, h, d)
+
+
+# ---------------------------------------------------------------------------
 # Page allocator (host side)
 # ---------------------------------------------------------------------------
 

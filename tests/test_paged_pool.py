@@ -56,3 +56,20 @@ def test_reference_lengths_masking():
     kp2 = kp.at[:, 3].set(99.0)
     out2 = paged_attention_reference(q, kp2, vp, jnp.asarray([4]), tbl)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_quantize_dequantize_roundtrip():
+    from merlin_tpu.ops.paged_attention import dequantize_pages, quantize_pages
+
+    rng = np.random.default_rng(0)
+    pages = jnp.asarray(rng.normal(size=(2, 3, 4, 8)) * 5, jnp.float32)
+    values, scales = quantize_pages(pages)
+    assert values.dtype == jnp.int8
+    assert scales.shape == (2, 3, 4, 1)
+    back = dequantize_pages(values, scales, jnp.float32)
+    rel = float(jnp.linalg.norm(back - pages) / jnp.linalg.norm(pages))
+    assert rel < 0.01
+    # zero rows stay finite
+    z = jnp.zeros((1, 1, 2, 8))
+    vq, sq = quantize_pages(z)
+    assert jnp.isfinite(dequantize_pages(vq, sq)).all()

@@ -29,3 +29,29 @@ def test_paged_attention_matches_reference():
     ref = paged_attention_reference(q, k_pages, v_pages, lengths, tables)
     out = paged_attention(q, k_pages, v_pages, lengths, tables)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_quantized_paged_attention_close_to_fp():
+    from merlin_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_quantized, quantize_pages)
+
+    rng = np.random.default_rng(0)
+    b, h, hkv, d = 2, 8, 8, 128
+    page_size, total_pages, pages_per_seq = 128, 16, 4
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(hkv, total_pages, page_size, d)),
+                     jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(hkv, total_pages, page_size, d)),
+                     jnp.float32)
+    lengths = jnp.asarray([200, 512], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+
+    ref = paged_attention(q, kp, vp, lengths, tables)
+    kq, ks = quantize_pages(kp)
+    vq, vs = quantize_pages(vp)
+    out = paged_attention_quantized(q, kq, ks, vq, vs, lengths, tables)
+    # int8 quantization error stays small relative to unit-normal values
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
