@@ -52,8 +52,15 @@ class WebdataSpec:
     merge_round: int = 1
 
     def shard_list(self) -> List[str]:
-        """Expand the glob / return the explicit list of shard paths."""
+        """Expand the glob / return the explicit list of shard paths.
+        Remote globs (s3://, gs://) expand through fsspec."""
         if isinstance(self.path, str):
+            if "://" in self.path and any(c in self.path for c in "*?["):
+                import fsspec
+
+                fs, _ = fsspec.core.url_to_fs(self.path)
+                proto = self.path.split("://", 1)[0]
+                return sorted(f"{proto}://{p}" for p in fs.glob(self.path))
             if any(c in self.path for c in "*?["):
                 return sorted(_glob.glob(self.path))
             return [self.path]

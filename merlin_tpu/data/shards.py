@@ -59,12 +59,22 @@ def split_by_worker(it: Iterator[str], worker_id: int = 0,
             yield shard
 
 
+def _open_shard(path: str):
+    """Local file or remote object (s3://, gs://, ... via fsspec — the
+    reference streams from S3 through boto3/megfile, base_dataset.py:33)."""
+    if "://" in path:
+        import fsspec
+
+        return fsspec.open(path, "rb").open()
+    return open(path, "rb")
+
+
 def tar_to_samples(shard_it: Iterator[str]) -> Iterator[Dict[str, bytes]]:
     """Stream tar members grouped by key (basename before first dot) into
     sample dicts {ext: bytes, '__key__': key}."""
     for shard in shard_it:
         try:
-            with tarfile.open(shard, mode="r|*") as tf:
+            with tarfile.open(fileobj=_open_shard(shard), mode="r|*") as tf:
                 current_key = None
                 sample: Dict[str, bytes] = {}
                 for member in tf:
