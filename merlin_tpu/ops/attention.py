@@ -170,6 +170,22 @@ def attention(
     on_tpu = jax.default_backend() == "tpu"
     sq, skv = q.shape[1], k.shape[1]
     d = q.shape[-1]
+
+    # Context parallelism: when the active mesh shards the seq axis,
+    # self-attention runs as ring attention (KV blocks rotate over ICI).
+    from merlin_tpu.core.mesh import get_global_mesh
+
+    mesh = get_global_mesh()
+    if (mesh is not None and mesh.shape.get("seq", 1) > 1
+            and sq == skv and alibi_slopes is None
+            and q.shape[2] == k.shape[2]
+            and sq % mesh.shape["seq"] == 0):
+        from merlin_tpu.ops.ring_attention import ring_self_attention
+
+        return ring_self_attention(
+            q, k, v, mesh=mesh, causal=causal,
+            segment_ids=segment_ids_q, scale=scale)
+
     # Flash pays off above one block; tiny sequences run on XLA directly.
     if not (use_flash and on_tpu and sq >= 128 and d <= 256):
         return mha_reference(

@@ -26,21 +26,27 @@ NEG_INF = -1e30
 
 
 def _local_attention_with_stats(q, k, v, *, scale, q_offset, k_offset,
-                                causal):
+                                causal, q_seg=None, k_seg=None):
     """Attention of local q against one kv block, returning unnormalized
     output and (m, l) statistics for cross-block merging.
 
-    q: (b, sq, h, d); k/v: (b, sk, h, d). Positions are global via offsets.
+    q: (b, sq, h, d); k/v: (b, sk, h, d). Positions are global via offsets;
+    q_seg/k_seg are optional (b, s_local) packed-segment ids.
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    mask = None
     if causal:
         q_pos = q_offset + jnp.arange(sq)
         k_pos = k_offset + jnp.arange(sk)
-        mask = k_pos[None, :] <= q_pos[:, None]
-        s = jnp.where(mask[None, None], s, NEG_INF)
+        mask = (k_pos[None, :] <= q_pos[:, None])[None]
+    if q_seg is not None:
+        seg = q_seg[:, :, None] == k_seg[:, None, :]
+        mask = seg if mask is None else (mask & seg)
+    if mask is not None:
+        s = jnp.where(mask[:, None], s, NEG_INF)
     m = jnp.max(s, axis=-1)                          # (b, h, q)
     p = jnp.exp(s - m[..., None])
     # fully-masked rows have m == NEG_INF and exp(s - m) == 1: zero them
@@ -64,6 +70,7 @@ def _merge(o1, m1, l1, o2, m2, l2):
 
 def ring_self_attention(q, k, v, *, mesh: Mesh, axis: str = "seq",
                         causal: bool = True,
+                        segment_ids: Optional[jax.Array] = None,
                         scale: Optional[float] = None):
     """Self-attention with Q/K/V sharded over ``axis`` along the sequence.
 
@@ -75,21 +82,24 @@ def ring_self_attention(q, k, v, *, mesh: Mesh, axis: str = "seq",
     n = mesh.shape[axis]
     s_local = q.shape[1] // n
 
-    def ring_fn(q_loc, k_loc, v_loc):
+    def ring_fn(q_loc, k_loc, v_loc, qseg_loc):
         idx = jax.lax.axis_index(axis)
         q_off = idx * s_local
 
         def rotation(step, carry):
-            o, m, l, k_blk, v_blk = carry
+            o, m, l, k_blk, v_blk, kseg_blk = carry
             src = (idx - step) % n               # who produced this block
             o2, m2, l2 = _local_attention_with_stats(
                 q_loc, k_blk, v_blk, scale=scale, q_offset=q_off,
-                k_offset=src * s_local, causal=causal)
+                k_offset=src * s_local, causal=causal,
+                q_seg=qseg_loc if segment_ids is not None else None,
+                k_seg=kseg_blk if segment_ids is not None else None)
             o, m, l = _merge(o, m, l, o2, m2, l2)
             perm = [(i, (i + 1) % n) for i in range(n)]
             k_blk = jax.lax.ppermute(k_blk, axis, perm)
             v_blk = jax.lax.ppermute(v_blk, axis, perm)
-            return o, m, l, k_blk, v_blk
+            kseg_blk = jax.lax.ppermute(kseg_blk, axis, perm)
+            return o, m, l, k_blk, v_blk, kseg_blk
 
         b, sq, h, _ = q_loc.shape
         # mark the zero-initialized stats as device-varying over the ring
@@ -97,14 +107,17 @@ def ring_self_attention(q, k, v, *, mesh: Mesh, axis: str = "seq",
         o = jax.lax.pcast(jnp.zeros((b, sq, h, d), jnp.float32), (axis,), to='varying')
         m = jax.lax.pcast(jnp.full((b, h, sq), NEG_INF, jnp.float32), (axis,), to='varying')
         l = jax.lax.pcast(jnp.zeros((b, h, sq), jnp.float32), (axis,), to='varying')
-        o, m, l, _, _ = jax.lax.fori_loop(
-            0, n, rotation, (o, m, l, k_loc, v_loc))
+        o, m, l, _, _, _ = jax.lax.fori_loop(
+            0, n, rotation, (o, m, l, k_loc, v_loc, qseg_loc))
         l = jnp.where(l == 0.0, 1.0, l)
         return (o / l.transpose(0, 2, 1)[..., None]).astype(q_loc.dtype)
 
     from jax import shard_map
 
     spec = P(None, axis, None, None)
+    seg_spec = P(None, axis)
+    if segment_ids is None:
+        segment_ids = jnp.ones(q.shape[:2], jnp.int32)
     return shard_map(
-        ring_fn, mesh=mesh, in_specs=(spec, spec, spec),
-        out_specs=spec)(q, k, v)
+        ring_fn, mesh=mesh, in_specs=(spec, spec, spec, seg_spec),
+        out_specs=spec)(q, k, v, segment_ids)
