@@ -143,10 +143,6 @@ def _pad_to(x: jax.Array, axis: int, multiple: int):
     return jnp.pad(x, widths), size
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("causal", "scale", "use_flash", "block_q", "block_k"),
-)
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -161,11 +157,17 @@ def attention(
     block_q: int = 512,
     block_k: int = 512,
 ) -> jax.Array:
-    """Attention dispatcher: Pallas flash kernel on TPU, XLA elsewhere.
+    """Attention dispatcher: ring attention under a seq-sharded mesh,
+    Pallas flash kernel on TPU, XLA reference elsewhere.
+
+    Deliberately NOT jitted itself: callers run it inside their own jit
+    (models, train step, decode loops), and the routing reads the global
+    mesh at trace time — an inner jit would cache a routing decision keyed
+    only on shapes.
 
     Self-attention only (q_offset=0). For decode-step attention against a
     KV cache use :mod:`merlin_tpu.generate.decode`, which keeps the whole
-    step in one jitted scan.
+    step in one jitted loop.
     """
     on_tpu = jax.default_backend() == "tpu"
     sq, skv = q.shape[1], k.shape[1]
