@@ -55,3 +55,27 @@ def test_quantized_paged_attention_close_to_fp():
     # int8 quantization error stays small relative to unit-normal values
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.03, rel
+
+
+def test_paged_attention_dma_matches_reference():
+    from merlin_tpu.ops.paged_attention import (
+        paged_attention_dma, paged_attention_reference)
+
+    rng = np.random.default_rng(1)
+    b, h, hkv, d = 4, 8, 8, 128
+    page_size, total_pages, pages_per_seq = 128, 64, 8
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    kp = jnp.asarray(
+        rng.normal(size=(hkv, total_pages, page_size, d)), jnp.float32)
+    vp = jnp.asarray(
+        rng.normal(size=(hkv, total_pages, page_size, d)), jnp.float32)
+    lengths = jnp.asarray([100, 512, 1, 1000], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+    ref = paged_attention_reference(q, kp, vp, lengths, tables)
+    for ppb in (2, 4, 8):
+        out = paged_attention_dma(q, kp, vp, lengths, tables,
+                                  pages_per_block=ppb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2)
