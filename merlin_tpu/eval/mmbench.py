@@ -66,7 +66,7 @@ def decode_b64_image(data: str):
 
 def run(bundle, eval_file: str, output_path: str,
         eval_cfg: Optional[EvalConfig] = None, *, limit: int = 0,
-        score: bool = True) -> Dict:
+        score: bool = True, batch_size: int = 1) -> Dict:
     language = "cn" if "cn" in eval_file.lower() else "en"
     eval_cfg = eval_cfg or EvalConfig(num_beams=5, max_new_tokens=64,
                                       language=language)
@@ -76,16 +76,21 @@ def run(bundle, eval_file: str, output_path: str,
     if limit:
         rows = rows[:limit]
     predictions = []
-    for row in rows:
-        question = build_question(row, language)
-        image = decode_b64_image(row["image"])
-        answer = model.ask(question, [image])
-        rec = {"index": int(row["index"]), "question": str(row["question"]),
-               "prediction": answer}
-        for opt in ALL_OPTIONS:
-            if not is_none(row.get(opt)):
-                rec[opt] = str(row[opt])
-        predictions.append(rec)
+    for start in range(0, len(rows), max(batch_size, 1)):
+        chunk = rows[start: start + max(batch_size, 1)]
+        questions = [build_question(r, language) for r in chunk]
+        images = [[decode_b64_image(r["image"])] for r in chunk]
+        if batch_size > 1:
+            answers = model.ask_batch(questions, images)
+        else:
+            answers = [model.ask(q, im) for q, im in zip(questions, images)]
+        for row, answer in zip(chunk, answers):
+            rec = {"index": int(row["index"]),
+                   "question": str(row["question"]), "prediction": answer}
+            for opt in ALL_OPTIONS:
+                if not is_none(row.get(opt)):
+                    rec[opt] = str(row[opt])
+            predictions.append(rec)
 
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     with open(output_path, "w") as f:

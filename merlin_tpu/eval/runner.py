@@ -98,6 +98,50 @@ class EvalModel:
             text = text[: -len(C.DEFAULT_EOS_TOKEN)].strip()
         return text
 
+    def ask_batch(self, questions: Sequence[str],
+                  images_per_question: Sequence[Sequence] = (),
+                  rng=None) -> List[str]:
+        """Batched QA: prompts pad to one bucketed length, one image slot
+        set; a single jitted prefill+decode serves the whole batch (the
+        reference shards eval across GPUs with one process each;
+        on TPU the batch dim does it in-process)."""
+        if not images_per_question:
+            images_per_question = [()] * len(questions)
+        enc_list = []
+        for q_text, imgs in zip(questions, images_per_question):
+            prompt = self.build_prompt(q_text, num_images=len(imgs))
+            enc = self.tokenizer(prompt)["input_ids"]
+            enc_list.append(np.asarray(
+                enc[0] if enc and isinstance(enc[0], list) else enc,
+                np.int32))
+        max_len = max(len(e) for e in enc_list)
+        pad = self.tokenizer.pad_token_id
+        ids = np.full((len(enc_list), max_len), pad, np.int32)
+        mask = np.zeros((len(enc_list), max_len), bool)
+        for i, e in enumerate(enc_list):
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = True
+
+        max_imgs = max((len(im) for im in images_per_question), default=0)
+        imgs_arr = None
+        if max_imgs:
+            size = self.bundle.config.vit.image_size
+            imgs_arr = np.zeros(
+                (len(enc_list), max_imgs, size, size, 3), np.uint8)
+            for i, imgs in enumerate(images_per_question):
+                got = self.preprocess_images(imgs)
+                if got is not None:
+                    imgs_arr[i, : got.shape[1]] = got[0]
+        kwargs = ({"images": jnp.asarray(imgs_arr)}
+                  if imgs_arr is not None else {})
+        if isinstance(self._engine, BeamSearch):
+            out = self._engine(self.bundle.params, ids,
+                               attention_mask=mask, **kwargs)
+        else:
+            out = self._engine(self.bundle.params, ids, rng=rng,
+                               attention_mask=mask, **kwargs)
+        return [self.decode_output(row) for row in out]
+
     def ask(self, question: str, images: Sequence = (),
             rng=None) -> str:
         prompt = self.build_prompt(question, num_images=len(images))
