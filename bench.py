@@ -103,9 +103,10 @@ def bench_decode():
     return tps, ttft_ms
 
 
-def bench_vit_encode(frames: int = 8):
-    """8-frame CLIP ViT-L/14-448 encode + conv projector (the interpair
-    video hot path). Returns frames/s."""
+def bench_vit_encode(frames: int = 16):
+    """Multi-frame CLIP ViT-L/14-448 encode + conv projector (the interpair
+    video hot path; throughput measure, so a batch big enough to amortize
+    dispatch). Returns frames/s."""
     from merlin_tpu.models.mmgpt import MMGPTConfig
     from merlin_tpu.models.vit import CLIPVisionTower, clip_vit_l14
     from merlin_tpu.models.projectors import ConvProjector

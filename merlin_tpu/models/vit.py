@@ -119,9 +119,15 @@ class ViTBlock(nn.Module):
 class ViT(nn.Module):
     """CLIP-style vision transformer. Input NHWC pixel values, output the
     per-layer hidden states (index 0 = embeddings) like HF
-    ``output_hidden_states=True`` so callers can feature-select."""
+    ``output_hidden_states=True`` so callers can feature-select.
+
+    ``active_layers`` truncates execution (not parameters) when the caller
+    only consumes an early hidden state: XLA cannot dead-code-eliminate a
+    layer whose attention is a pallas custom call, so running the dead
+    24th layer costs a real ~4% of encode time."""
 
     cfg: ViTConfig
+    active_layers: Optional[int] = None
 
     @nn.compact
     def __call__(self, pixel_values) -> List[jax.Array]:
@@ -167,8 +173,10 @@ class ViT(nn.Module):
             x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype,
                           name="pre_norm")(x)
 
+        n_layers = (cfg.num_layers if self.active_layers is None
+                    else min(self.active_layers, cfg.num_layers))
         hidden_states = [x]
-        for i in range(cfg.num_layers):
+        for i in range(n_layers):
             x = ViTBlock(cfg, name=f"layers_{i}")(x)
             hidden_states.append(x)
         return hidden_states
@@ -185,8 +193,14 @@ class CLIPVisionTower(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values):
-        hidden_states = ViT(self.cfg, name="vit")(pixel_values)
-        feats = hidden_states[self.select_layer]
+        # run only the layers the selection consumes (hidden_states index i
+        # needs i layers; negative indices count from the full-depth list)
+        sel = self.select_layer
+        n_states = self.cfg.num_layers + 1
+        idx = sel % n_states
+        hidden_states = ViT(self.cfg, active_layers=idx, name="vit")(
+            pixel_values)
+        feats = hidden_states[idx]
         if self.select_feature == "patch":
             if self.cfg.use_class_token:
                 feats = feats[:, 1:]

@@ -196,6 +196,13 @@ def attention(
             alibi_slopes=alibi_slopes, scale=scale,
         )
 
+    # Bidirectional short-KV shapes (the ViT tower: s=1025, d=64) are
+    # VPU/overhead-bound under online-softmax tiling — route them to the
+    # single-pass whole-KV kernel (see onepass_attention.py for the numbers).
+    if (not causal and alibi_slopes is None and segment_ids_q is None
+            and q.shape[2] == k.shape[2] and skv <= 4096 and d <= 128):
+        return _onepass_dispatch(q, k, v, scale=scale)
+
     from merlin_tpu.ops.flash_attention import flash_attention
 
     block_q = _pick_block(sq, block_q)
@@ -263,3 +270,31 @@ def attention(
                      segment_ids_kv=segment_ids_kv,
                      alibi_slopes=alibi_slopes)
     return out[:, :orig_sq]
+
+
+def _onepass_dispatch(q, k, v, *, scale):
+    """Run the single-pass whole-KV kernel (it pads/masks internally),
+    sharded over the active mesh when one is set (batch over data/fsdp,
+    heads over tensor — no collectives needed)."""
+    import functools as _ft
+
+    from merlin_tpu.ops.onepass_attention import onepass_attention
+    from merlin_tpu.core.mesh import get_global_mesh
+
+    kernel = _ft.partial(onepass_attention, scale=scale)
+
+    mesh = get_global_mesh()
+    wrap = False
+    if mesh is not None:
+        dp = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+        tp = mesh.shape.get("tensor", 1)
+        wrap = (dp * tp > 1 and q.shape[0] % dp == 0
+                and q.shape[2] % tp == 0)
+    if wrap:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        spec = P(("data", "fsdp"), None, "tensor", None)
+        return shard_map(kernel, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_rep=False)(q, k, v)
+    return kernel(q, k, v)

@@ -1,0 +1,248 @@
+"""Single-pass (non-flash) Pallas attention for short-KV bidirectional shapes.
+
+The ViT tower's attention (b=8, h=16, s=1025, d=64 — the CLIP ViT-L/14-448
+encode hot path, reference clip_encoder.py:64-72) is a pathological shape for
+online-softmax flash kernels: the work per (batch, head) cell is tiny, the
+head_dim of 64 wastes half the 128-wide MXU contraction, and profiling shows
+both our flash kernel and jax's canonical TPU kernel bottom out at
+~40-85 G-logits/s — VPU-bound on the online-softmax bookkeeping (running max
+/ sum broadcasts, alpha rescaling, masking), not MXU-bound.
+
+This kernel exploits that the whole KV fits in VMEM at these sizes:
+
+  * one K/V block per (b, head_group, q_block) grid cell -> NO online
+    statistics: plain  m = max(s);  p = exp2(s - m);  o = (p @ v) / l.
+  * head groups are processed inside each cell from the model's native
+    (b, s, h*d) lane-packed layout (a free reshape) — measured tower-level,
+    the (b,s,h,d)<->(b,h,s,d) transposes a per-head grid forces in XLA cost
+    more than the attention math itself at this shape.
+  * scores are scaled by scale*log2(e) in f32 (scaling q in bf16 before the
+    matmul loses ~2 bits that exp2 amplifies to ~3% output error) and
+    exponentiated with the native `exp2`.
+  * padding (CLS + 1024 patches = 1025 rows) is handled internally: the
+    inference path pads only to a multiple of 8 (1032) since nothing
+    constrains the lane dim; the trained path pads the q length to a
+    multiple of 128 because the LSE residual rides (g*8, block_q) tiles.
+    Padded KV columns are masked by a compile-time `kv_len` iota compare.
+
+Per-logit VPU work drops to ~4 ops (max-reduce, sub, exp2, sum). Not a
+flash kernel: s is materialized per (block_q, skv) tile in VMEM, so this
+path requires skv to fit (<= ~4k); the dispatcher falls back to the flash
+kernel beyond that.
+
+Emits the same natural-log LSE residual as the flash kernel when
+differentiated, so the backward pass reuses the flash dq/dkv kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LSE_SUBLANES = 8
+LOG2E = math.log2(math.e)
+
+
+def _make_kernel(*, scale: float, kv_len: int, g: int, d: int,
+                 emit_lse: bool):
+    """Kernel for one (b, head_group, q_block) cell; refs are (1, rows, g*d)
+    lane-packed. Head slices are static lane offsets (free); KV blocks have
+    a constant index over the q dimension, so Mosaic's revolving buffers DMA
+    them once per group. ``g`` (heads per cell) is bounded so the f32 score
+    tiles fit scoped VMEM (16MB)."""
+    c = scale * LOG2E
+
+    def kernel(q_ref, k_ref, v_ref, out_ref, *maybe_lse):
+        skv = k_ref.shape[1]
+        for hh in range(g):
+            sl = slice(hh * d, (hh + 1) * d)
+            s = jax.lax.dot_general(
+                q_ref[0, :, sl], k_ref[0, :, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * c      # (bq, skv)
+            if kv_len < skv:
+                k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(k_pos < kv_len, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (bq, d)
+            out_ref[0, :, sl] = (acc / l).astype(out_ref.dtype)
+            if emit_lse:
+                lse = (m / LOG2E + jnp.log(l)).T             # natural log
+                maybe_lse[0][0, hh * _LSE_SUBLANES:(hh + 1) * _LSE_SUBLANES,
+                             :] = jnp.broadcast_to(
+                    lse, (_LSE_SUBLANES, lse.shape[1]))
+
+    return kernel
+
+
+def _pad_rows(x, multiple: int):
+    pad = (-x.shape[1]) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+    return x
+
+
+def _primal_pad(sq: int) -> int:
+    """Padded q length for the inference path: rows only need sublane
+    alignment (8), so 1025 pads to just 1032 instead of 1152."""
+    return -(-sq // 8) * 8
+
+
+def _trained_pad(sq: int) -> int:
+    """Padded q length when the LSE residual is emitted: its (g*8, block_q)
+    tiles need block_q % 128 == 0, so pad to a 128-divisible block grid."""
+    if sq <= 512:
+        return -(-sq // 128) * 128
+    return -(-sq // 384) * 384
+
+
+# scoped VMEM is 16MB; leave headroom for operand/output pipeline buffers
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _pick_block_q(sq_pad: int, skv: int, g: int, align: int) -> int:
+    """Largest divisor of sq_pad (aligned) whose f32+bf16 score tiles for a
+    g-head group fit the VMEM budget — fewer grid cells beat smaller tiles
+    (per-cell fixed costs dominate at ViT sizes)."""
+    for n in (1, 2, 3, 4, 6, 8, 12, 16):
+        if sq_pad % n:
+            continue
+        bq = sq_pad // n
+        if bq % align:
+            continue
+        if g * bq * skv * 6 <= _VMEM_BUDGET:
+            return bq
+    return align
+
+
+def _onepass_fwd(q, k, v, *, scale: float, kv_len: int, emit_lse: bool):
+    b, sq_pad, h, d = q.shape
+    skv = k.shape[1]
+    assert k.shape[2] == h, "GQA not supported on the one-pass path"
+
+    # free reshapes: heads stay lane-packed, no transposes
+    q2 = q.reshape(b, sq_pad, h * d)
+    k2 = k.reshape(b, skv, h * d)
+    v2 = v.reshape(b, skv, h * d)
+
+    # heads per cell: exactly 128 lanes' worth (lane-tiling minimum; more
+    # heads only multiply live score tiles without saving DMA)
+    g = max(1, 128 // d)
+    assert h % g == 0, (h, g)
+    block_q = _pick_block_q(sq_pad, skv, g, 128 if emit_lse else 8)
+    assert sq_pad % block_q == 0, (sq_pad, block_q)
+
+    grid = (b, h // g, sq_pad // block_q)
+    out_shapes = [jax.ShapeDtypeStruct((b, sq_pad, h * d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, g * d),
+                              lambda bi, gi, qi: (bi, qi, gi))]
+    if emit_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, h * _LSE_SUBLANES, sq_pad), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, g * _LSE_SUBLANES, block_q),
+                                      lambda bi, gi, qi: (bi, gi, qi)))
+
+    outs = pl.pallas_call(
+        _make_kernel(scale=scale, kv_len=kv_len, g=g, d=d, emit_lse=emit_lse),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, g * d), lambda bi, gi, qi: (bi, qi, gi)),
+            pl.BlockSpec((1, skv, g * d), lambda bi, gi, qi: (bi, 0, gi)),
+            pl.BlockSpec((1, skv, g * d), lambda bi, gi, qi: (bi, 0, gi)),
+        ],
+        out_specs=tuple(out_specs) if emit_lse else out_specs[0],
+        out_shape=tuple(out_shapes) if emit_lse else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * h * sq_pad * skv * d),
+            bytes_accessed=int(2 * q.size * q.dtype.itemsize
+                               + 2 * k.size * k.dtype.itemsize),
+            transcendentals=int(b * h * sq_pad * skv),
+        ),
+    )(q2, k2, v2)
+    if emit_lse:
+        out, lse = outs
+        # lse (b, h*8, sq) -> (b, h, 8, sq): free reshape
+        return (out.reshape(b, sq_pad, h, d),
+                lse.reshape(b, h, _LSE_SUBLANES, sq_pad))
+    return outs.reshape(b, sq_pad, h, d), None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _onepass(q, k, v, scale):
+    sq = q.shape[1]
+    sq_pad = _primal_pad(sq)
+    qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
+    kp = _pad_rows(k, 8)
+    vp = _pad_rows(v, 8)
+    out, _ = _onepass_fwd(qp, kp, vp, scale=scale, kv_len=k.shape[1],
+                          emit_lse=False)
+    return out[:, :sq]
+
+
+def _onepass_fwd_rule(q, k, v, scale):
+    sq = q.shape[1]
+    sq_pad = _trained_pad(sq)
+    qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
+    kp = _pad_rows(k, 128)
+    vp = _pad_rows(v, 128)
+    out, lse = _onepass_fwd(qp, kp, vp, scale=scale, kv_len=k.shape[1],
+                            emit_lse=True)
+    return out[:, :sq], (qp, kp, vp, out, lse, sq, k.shape[1])
+
+
+def _onepass_bwd_rule(scale, residuals, g):
+    from merlin_tpu.ops.flash_attention import _flash_bwd_pallas
+
+    qp, kp, vp, out, lse, sq, kv_len = residuals
+    b, sq_pad, h, d = qp.shape
+    skv = kp.shape[1]
+    gp = jnp.pad(g, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
+    # padded-KV masking becomes segment ids for the flash backward kernels;
+    # padded q rows get segment 0 (lse there is garbage -> mask kills p)
+    qseg = jnp.where(jnp.arange(sq_pad)[None, :] < sq, 1, 0).astype(jnp.int32)
+    qseg = jnp.broadcast_to(qseg, (b, sq_pad))
+    kseg = jnp.where(jnp.arange(skv)[None, :] < kv_len, 1, -1).astype(jnp.int32)
+    kseg = jnp.broadcast_to(kseg, (b, skv))
+    slopes = jnp.zeros((h,), jnp.float32)
+    bq = 384 if sq_pad % 384 == 0 else math.gcd(sq_pad, 512)
+    bk = next((c for c in (512, 384, 256, 128) if skv % c == 0), skv)
+    dq, dk, dv = _flash_bwd_pallas(
+        qp, kp, vp, out, lse, gp, qseg, kseg, slopes,
+        causal=False, scale=scale, block_q=bq, block_k=bk,
+        use_alibi=False, use_segments=True)
+    return (dq[:, :sq], dk[:, :kv_len], dv[:, :kv_len])
+
+
+_onepass.defvjp(_onepass_fwd_rule, _onepass_bwd_rule)
+
+
+def onepass_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-pass bidirectional attention; q: (b, sq, h, d), k/v same h.
+
+    Handles non-aligned sequence lengths internally (padding + masking);
+    returns (b, sq, h, d).
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    return _onepass(q, k, v, scale)
