@@ -205,27 +205,159 @@ def _onepass_fwd_rule(q, k, v, scale):
     return out[:, :sq], (qp, kp, vp, out, lse, sq, k.shape[1])
 
 
-def _onepass_bwd_rule(scale, residuals, g):
-    from merlin_tpu.ops.flash_attention import _flash_bwd_pallas
+def _make_dq_kernel(*, scale: float, g: int, d: int):
+    """dq for one (b, head_group, q_block) cell, whole KV in VMEM.
 
+    No masking needed anywhere: padded KV rows of k/v are zeros, so their
+    (nonzero) p values die multiplying k=0 in the final dot; padded q rows
+    produce garbage dq rows that the caller slices off.
+    """
+    c = scale * LOG2E
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref):
+        for hh in range(g):
+            sl = slice(hh * d, (hh + 1) * d)
+            s = jax.lax.dot_general(
+                q_ref[0, :, sl], k_ref[0, :, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * c   # (bq, skv) log2
+            lse_col = lse_ref[0, hh * _LSE_SUBLANES:hh * _LSE_SUBLANES + 1,
+                              :].T                         # (bq, 1) natural
+            p = jnp.exp2(s - lse_col * LOG2E)
+            dp = jax.lax.dot_general(
+                do_ref[0, :, sl], v_ref[0, :, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (bq, skv)
+            di_col = di_ref[0, hh * _LSE_SUBLANES:hh * _LSE_SUBLANES + 1,
+                            :].T                           # (bq, 1)
+            ds = p * (dp - di_col) * scale
+            dq_ref[0, :, sl] = jax.lax.dot_general(
+                ds.astype(k_ref.dtype), k_ref[0, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _make_dkv_kernel(*, scale: float, g: int, d: int):
+    """dk/dv for one (b, head_group, k_block) cell, whole Q/do in VMEM.
+
+    The LSE/di rows broadcast along sublanes (no transpose needed). Padded
+    q columns self-cancel: do rows there are zero, so dp == di == 0 and
+    ds == 0; dk's q operand rows are zero too.
+    """
+    c = scale * LOG2E
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+               dk_ref, dv_ref):
+        for hh in range(g):
+            sl = slice(hh * d, (hh + 1) * d)
+            st = jax.lax.dot_general(
+                k_ref[0, :, sl], q_ref[0, :, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * c    # (bk, sq) log2
+            lse_row = lse_ref[0, hh * _LSE_SUBLANES:hh * _LSE_SUBLANES + 1,
+                              :]                           # (1, sq) natural
+            p = jnp.exp2(st - lse_row * LOG2E)
+            dv_ref[0, :, sl] = jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_ref[0, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(
+                v_ref[0, :, sl], do_ref[0, :, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (bk, sq)
+            di_row = di_ref[0, hh * _LSE_SUBLANES:hh * _LSE_SUBLANES + 1, :]
+            ds = p * (dp - di_row) * scale
+            dk_ref[0, :, sl] = jax.lax.dot_general(
+                ds.astype(q_ref.dtype), q_ref[0, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+    return kernel
+
+
+def _onepass_bwd_rule(scale, residuals, g):
     qp, kp, vp, out, lse, sq, kv_len = residuals
     b, sq_pad, h, d = qp.shape
     skv = kp.shape[1]
     gp = jnp.pad(g, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
-    # padded-KV masking becomes segment ids for the flash backward kernels;
-    # padded q rows get segment 0 (lse there is garbage -> mask kills p)
-    qseg = jnp.where(jnp.arange(sq_pad)[None, :] < sq, 1, 0).astype(jnp.int32)
-    qseg = jnp.broadcast_to(qseg, (b, sq_pad))
-    kseg = jnp.where(jnp.arange(skv)[None, :] < kv_len, 1, -1).astype(jnp.int32)
-    kseg = jnp.broadcast_to(kseg, (b, skv))
-    slopes = jnp.zeros((h,), jnp.float32)
-    bq = 384 if sq_pad % 384 == 0 else math.gcd(sq_pad, 512)
-    bk = next((c for c in (512, 384, 256, 128) if skv % c == 0), skv)
-    dq, dk, dv = _flash_bwd_pallas(
-        qp, kp, vp, out, lse, gp, qseg, kseg, slopes,
-        causal=False, scale=scale, block_q=bq, block_k=bk,
-        use_alibi=False, use_segments=True)
-    return (dq[:, :sq], dk[:, :kv_len], dv[:, :kv_len])
+
+    hg = max(1, 128 // d)
+    assert h % hg == 0, (h, hg)
+    # di = sum(out * do) per (b, h, pos), laid out (b, h*8, sq) like lse
+    di = jnp.einsum("bshd,bshd->bhs", out.astype(jnp.float32),
+                    gp.astype(jnp.float32))
+    di8 = jnp.broadcast_to(di[:, :, None, :],
+                           (b, h, _LSE_SUBLANES, sq_pad)
+                           ).reshape(b, h * _LSE_SUBLANES, sq_pad)
+    lse8 = lse.reshape(b, h * _LSE_SUBLANES, sq_pad)
+
+    q2 = qp.reshape(b, sq_pad, h * d)
+    k2 = kp.reshape(b, skv, h * d)
+    v2 = vp.reshape(b, skv, h * d)
+    do2 = gp.reshape(b, sq_pad, h * d)
+
+    # dq's lse/di tiles ride (g*8, block_q), so block_q needs 128-alignment
+    block_q = _pick_block_q(sq_pad, skv, hg, 128)
+    dq = pl.pallas_call(
+        _make_dq_kernel(scale=scale, g=hg, d=d),
+        grid=(b, h // hg, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hg * d), lambda bi, gi, qi: (bi, qi, gi)),
+            pl.BlockSpec((1, skv, hg * d), lambda bi, gi, qi: (bi, 0, gi)),
+            pl.BlockSpec((1, skv, hg * d), lambda bi, gi, qi: (bi, 0, gi)),
+            pl.BlockSpec((1, block_q, hg * d), lambda bi, gi, qi: (bi, qi, gi)),
+            pl.BlockSpec((1, hg * _LSE_SUBLANES, block_q),
+                         lambda bi, gi, qi: (bi, gi, qi)),
+            pl.BlockSpec((1, hg * _LSE_SUBLANES, block_q),
+                         lambda bi, gi, qi: (bi, gi, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hg * d),
+                               lambda bi, gi, qi: (bi, qi, gi)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, h * d), qp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * b * h * sq_pad * skv * d),
+            bytes_accessed=int(4 * qp.size * qp.dtype.itemsize),
+            transcendentals=int(b * h * sq_pad * skv)),
+    )(q2, k2, v2, do2, lse8, di8)
+
+    block_k = _pick_block_q(skv, sq_pad, hg, 8)
+    dk, dv = pl.pallas_call(
+        _make_dkv_kernel(scale=scale, g=hg, d=d),
+        grid=(b, h // hg, skv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq_pad, hg * d), lambda bi, gi, ki: (bi, 0, gi)),
+            pl.BlockSpec((1, block_k, hg * d), lambda bi, gi, ki: (bi, ki, gi)),
+            pl.BlockSpec((1, block_k, hg * d), lambda bi, gi, ki: (bi, ki, gi)),
+            pl.BlockSpec((1, sq_pad, hg * d), lambda bi, gi, ki: (bi, 0, gi)),
+            pl.BlockSpec((1, hg * _LSE_SUBLANES, sq_pad),
+                         lambda bi, gi, ki: (bi, gi, 0)),
+            pl.BlockSpec((1, hg * _LSE_SUBLANES, sq_pad),
+                         lambda bi, gi, ki: (bi, gi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, hg * d), lambda bi, gi, ki: (bi, ki, gi)),
+            pl.BlockSpec((1, block_k, hg * d), lambda bi, gi, ki: (bi, ki, gi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, skv, h * d), kp.dtype),
+            jax.ShapeDtypeStruct((b, skv, h * d), vp.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * b * h * sq_pad * skv * d),
+            bytes_accessed=int(4 * qp.size * qp.dtype.itemsize),
+            transcendentals=int(b * h * sq_pad * skv)),
+    )(q2, k2, v2, do2, lse8, di8)
+
+    dq = dq.reshape(b, sq_pad, h, d)[:, :sq]
+    dk = dk.reshape(b, skv, h, d)[:, :kv_len]
+    dv = dv.reshape(b, skv, h, d)[:, :kv_len]
+    return dq, dk, dv
 
 
 _onepass.defvjp(_onepass_fwd_rule, _onepass_bwd_rule)
