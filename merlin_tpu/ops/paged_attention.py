@@ -177,9 +177,12 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_tables,
 
 # ---------------------------------------------------------------------------
 # multi-page DMA variant: pages stay in HBM; the kernel double-buffers
-# chunks of pages with explicit async copies (one DMA per page, all in
-# flight together), so per-grid-step pipeline overhead amortizes over
-# pages_per_block pages instead of one.
+# chunks of pages with explicit async copies. The grid is FLAT over
+# (b * hkv * blocks) so the prefetch of step t+1 is issued while step t
+# computes even across (batch, head) cell boundaries — a (b, hkv) grid
+# restarts its pipeline per cell and stalls on the first block's DMA
+# every time (with 2048-token sequences that bubble is ~half the runtime,
+# the 81->120 GB/s plateau of the first two kernel generations).
 # ---------------------------------------------------------------------------
 
 def _paged_dma_kernel(
@@ -188,80 +191,94 @@ def _paged_dma_kernel(
     out_ref,
     k_buf, v_buf, sems, m_scr, l_scr, acc_scr,
     *, scale: float, page_size: int, pages_per_block: int,
-    pages_per_seq: int,
+    max_blocks: int, hkv: int,
 ):
-    b = pl.program_id(0)
-    hk = pl.program_id(1)
-    length = lengths_ref[b]
-    n_blocks = pages_per_seq // pages_per_block
+    t = pl.program_id(0)
+    total = pl.num_programs(0)
     block_tokens = page_size * pages_per_block
 
-    def make_copies(block, slot):
-        copies = []
-        for j in range(pages_per_block):
-            page = page_tables_ref[b, block * pages_per_block + j]
-            copies.append(pltpu.make_async_copy(
-                k_hbm_ref.at[hk, page], k_buf.at[slot, j],
-                sems.at[0, slot, j]))
-            copies.append(pltpu.make_async_copy(
-                v_hbm_ref.at[hk, page], v_buf.at[slot, j],
-                sems.at[1, slot, j]))
-        return copies
+    def unflatten(tt):
+        blk = jax.lax.rem(tt, max_blocks)
+        cell = tt // max_blocks
+        return cell // hkv, jax.lax.rem(cell, hkv), blk
 
-    def start(block, slot):
-        for c in make_copies(block, slot):
+    def active(tt):
+        b_t, _, blk_t = unflatten(tt)
+        return blk_t * block_tokens < lengths_ref[b_t]
+
+    def copies(tt, slot):
+        b_t, hk_t, blk_t = unflatten(tt)
+        out = []
+        for j in range(pages_per_block):
+            page = page_tables_ref[b_t, blk_t * pages_per_block + j]
+            out.append(pltpu.make_async_copy(
+                k_hbm_ref.at[hk_t, page], k_buf.at[slot, j],
+                sems.at[0, slot, j]))
+            out.append(pltpu.make_async_copy(
+                v_hbm_ref.at[hk_t, page], v_buf.at[slot, j],
+                sems.at[1, slot, j]))
+        return out
+
+    b, hk, blk = unflatten(t)
+    length = lengths_ref[b]
+    slot = jax.lax.rem(t, 2)
+
+    # steady state: step t's DMA was issued at step t-1; issue t+1's now.
+    # block 0 is always active (decode lengths >= 1), so the t==0 bootstrap
+    # never targets a skipped block. A block skipped by `active` gets no
+    # DMA and no wait — the predicates are the same formula.
+    @pl.when(t == 0)
+    def _bootstrap():
+        for c in copies(0, 0):
             c.start()
 
-    def wait(block, slot):
-        for c in make_copies(block, slot):
+    @pl.when(jnp.logical_and(t + 1 < total, active(t + 1)))
+    def _prefetch_next():
+        for c in copies(t + 1, 1 - slot):
+            c.start()
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(active(t))
+    def _compute():
+        for c in copies(t, slot):
             c.wait()
+        q = q_ref[0, 0]                               # (group, d)
+        k = k_buf[slot].reshape(block_tokens, -1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        k_pos = blk * block_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < length, s, NEG_INF)
 
-    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-    l_scr[:] = jnp.zeros_like(l_scr)
-    acc_scr[:] = jnp.zeros_like(acc_scr)
-    start(0, 0)
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_buf[slot].reshape(block_tokens, -1)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    def body(block, carry):
-        slot = jax.lax.rem(block, 2)
-
-        # prefetch exactly when the NEXT block will compute, so every
-        # started DMA is waited on (unconsumed DMAs fault at kernel exit)
-        @pl.when(jnp.logical_and(block + 1 < n_blocks,
-                                 (block + 1) * block_tokens < length))
-        def _prefetch_next():
-            start(block + 1, 1 - slot)
-
-        @pl.when(block * block_tokens < length)
-        def _compute():
-            wait(block, slot)
-            q = q_ref[0, 0]                               # (group, d)
-            k = k_buf[slot].reshape(block_tokens, -1)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            k_pos = block * block_tokens + jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 1)
-            s = jnp.where(k_pos < length, s, NEG_INF)
-
-            m_prev = m_scr[:, :1]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-            v = v_buf[slot].reshape(block_tokens, -1)
-            acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-            l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
-        return carry
-
-    jax.lax.fori_loop(0, n_blocks, body, 0)
-    l = l_scr[:, :1]
-    l = jnp.where(l == 0.0, 1.0, l)
-    out_ref[0, 0] = (acc_scr[:] / l).astype(out_ref.dtype)
+    # the last active block of a cell finalizes; trailing inactive blocks
+    # leave out_ref untouched (same VMEM block until the cell changes)
+    @pl.when(jnp.logical_and(
+        active(t),
+        jnp.logical_or(blk == max_blocks - 1,
+                       (blk + 1) * block_tokens >= length)))
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_scr[:] / l).astype(out_ref.dtype)
 
 
 def paged_attention_dma(
@@ -269,7 +286,10 @@ def paged_attention_dma(
     lengths: jax.Array, page_tables: jax.Array, *,
     pages_per_block: int = 8, scale: Optional[float] = None,
 ) -> jax.Array:
-    """Multi-page double-buffered paged attention (no ALiBi variant yet)."""
+    """Multi-page double-buffered paged attention (no ALiBi variant yet).
+
+    Requires lengths >= 1 for every row (true for decode: the prefilled
+    prompt is at least one token)."""
     b, h, d = q.shape
     hkv, total_pages, page_size, _ = k_pages.shape
     group = h // hkv
@@ -277,20 +297,23 @@ def paged_attention_dma(
     while pages_per_seq % pages_per_block:
         pages_per_block //= 2
     pages_per_block = max(pages_per_block, 1)
+    max_blocks = pages_per_seq // pages_per_block
     scale = scale if scale is not None else d ** -0.5
     qg = q.reshape(b, hkv, group, d)
 
+    def cell_map(t, lens, tables):
+        cell = t // max_blocks
+        return cell // hkv, jax.lax.rem(cell, hkv), 0, 0
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hkv),
+        grid=(b * hkv * max_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, group, d),
-                         lambda b_, h_, lens, tables: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, group, d), cell_map),
             pl.BlockSpec(memory_space=pltpu.ANY),   # k pages stay in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # v pages stay in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, group, d), lambda b_, h_, lens, tables: (b_, h_, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, group, d), cell_map),
         scratch_shapes=[
             pltpu.VMEM((2, pages_per_block, page_size, d), k_pages.dtype),
             pltpu.VMEM((2, pages_per_block, page_size, d), v_pages.dtype),
@@ -303,11 +326,12 @@ def paged_attention_dma(
     out = pl.pallas_call(
         functools.partial(
             _paged_dma_kernel, scale=scale, page_size=page_size,
-            pages_per_block=pages_per_block, pages_per_seq=pages_per_seq),
+            pages_per_block=pages_per_block, max_blocks=max_blocks,
+            hkv=hkv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
     )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
       qg, k_pages, v_pages)
     return out.reshape(b, h, d)
