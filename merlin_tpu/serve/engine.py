@@ -1,11 +1,21 @@
-"""Continuous-batching serving engine over the paged KV cache.
+"""Continuous-batching serving engine over a pooled paged KV cache.
 
 The reference serves one request at a time per worker (asyncio semaphore,
 model_worker.py:30). This engine keeps a fixed set of decode slots hot:
 requests admit into free slots (prefill runs per-request and its pages are
-scattered into the slot), every engine step decodes ALL active slots in one
-jitted call against the shared paged cache, and slots free on EOS/length —
-so throughput scales with occupancy instead of queueing.
+scattered into pool pages), every engine step decodes ALL active slots in
+one jitted call against the shared paged cache, and slots free on
+EOS/length — so throughput scales with occupancy instead of queueing.
+
+Paging is vLLM-style and real: physical pages come from one shared
+``PagePool``; admission reserves only the prompt's pages (a page-table
+scatter, no contiguous per-slot reservation and no copies), decode grows a
+sequence one page at a time as it crosses page boundaries, and a request
+that cannot grow preempts the youngest other request (its pages are
+released and it re-queues for recompute-style resumption — the vLLM
+recompute preemption policy). Physical page 0 is reserved as a trash page:
+inactive slots' table rows point at it so the unconditional decode-step KV
+scatter for masked slots can never corrupt a live request's pages.
 
 Static shapes: the decode step is compiled once per engine configuration
 (slots x page geometry); prefill compiles once per prompt bucket.
@@ -13,8 +23,8 @@ Static shapes: the decode step is compiled once per engine configuration
 
 from __future__ import annotations
 
+import collections
 import dataclasses
-import queue
 import threading
 from typing import Any, Callable, Dict, List, Optional
 
@@ -23,6 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from merlin_tpu.models.decoder import init_kv_cache
+from merlin_tpu.ops.paged_attention import PagePool
+
+_TRASH = "__trash__"   # PagePool seq-id pinning physical page 0
 
 
 @dataclasses.dataclass
@@ -63,11 +76,21 @@ class ServingEngine:
                                    dtype=cache_dtype, layout="paged",
                                    page_size=page_size)
         self.pages_per_slot = self.cache["page_tables"].shape[1]
+        total_pages = self.cache["layers"][0]["k_pages"].shape[1]
+        self.pool = PagePool(total_pages, page_size, self.pages_per_slot)
+        self.pool.allocate(_TRASH, 1)   # pins physical page 0
+        # host mirror of the device page tables; rows of zeros alias the
+        # trash page (inactive slots write there, never read)
+        self._tables = np.zeros((num_slots, self.pages_per_slot), np.int32)
+        self.cache["page_tables"] = jnp.asarray(self._tables)
+
         self.slots: List[Optional[Request]] = [None] * num_slots
-        self.queue: "queue.Queue[Request]" = queue.Queue()
+        self._queue: "collections.deque[Request]" = collections.deque()
         self._rng = jax.random.key(rng_seed)
         self._next_id = 0
         self._lock = threading.Lock()
+        self._slot_tokens = np.zeros(self.num_slots, np.int32)
+        self._slot_len = np.zeros(self.num_slots, np.int64)
 
         # --- jitted pieces --------------------------------------------
         def prefill(params, ids, mask, small_cache):
@@ -82,14 +105,14 @@ class ServingEngine:
                 logits, (length - 1)[:, None, None], axis=1)[:, 0]
             return next_logits, new_cache, length
 
-        def insert(big_layers, small_layers, slot, lengths, small_lengths):
-            """Scatter one prefilled sequence's pages into its slot."""
-            pps_small = small_layers[0]["k_pages"].shape[1]
-            row = slot * self.pages_per_slot
+        def insert(big_layers, small_layers, phys, slot, lengths,
+                   small_lengths):
+            """Scatter one prefilled sequence's pages into pool pages.
 
+            ``phys``: (n_small_pages,) physical page ids from the pool —
+            arbitrary, not contiguous."""
             def put(big, small):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    big, small.astype(big.dtype), row, axis=1)
+                return big.at[:, phys].set(small.astype(big.dtype))
 
             new_layers = tuple(
                 {"k_pages": put(bl["k_pages"], sl["k_pages"]),
@@ -144,7 +167,7 @@ class ServingEngine:
                           max_new_tokens=max_new_tokens,
                           temperature=temperature, emit=emit)
             self._next_id += 1
-        self.queue.put(req)
+            self._queue.append(req)
         return req
 
     def _bucketed(self, ids: np.ndarray) -> np.ndarray:
@@ -153,15 +176,29 @@ class ServingEngine:
             ids = np.concatenate([ids, np.full(pad, self.pad_id, np.int32)])
         return ids[None]
 
+    def _pop_request(self) -> Optional[Request]:
+        with self._lock:
+            return self._queue.popleft() if self._queue else None
+
+    def _requeue_front(self, req: Request):
+        with self._lock:
+            self._queue.appendleft(req)
+
     def _admit(self):
         for slot in range(self.num_slots):
             if self.slots[slot] is not None:
                 continue
-            try:
-                req = self.queue.get_nowait()
-            except queue.Empty:
+            req = self._pop_request()
+            if req is None:
                 return
             ids = self._bucketed(req.input_ids)
+            try:
+                # reserve the bucketed prompt's pages (prefill writes the
+                # whole bucket; padded rows are masked by `lengths`)
+                table = self.pool.allocate(req.req_id, ids.shape[1])
+            except MemoryError:
+                self._requeue_front(req)
+                return
             mask = jnp.asarray(ids != self.pad_id)
             small = init_kv_cache(
                 self.lm_cfg, 1, max_len=ids.shape[1], layout="paged",
@@ -170,8 +207,11 @@ class ServingEngine:
             next_logits, small, length = self._prefill(
                 self.params, jnp.asarray(ids), mask, small)
             self.cache["layers"], self.cache["lengths"] = self._insert(
-                self.cache["layers"], small["layers"], slot,
-                self.cache["lengths"], small["lengths"])
+                self.cache["layers"], small["layers"],
+                jnp.asarray(np.asarray(table, np.int32)), slot,
+                self.cache["lengths"], length)
+            self._tables[slot] = 0
+            self._tables[slot, :len(table)] = table
             # first token comes straight from the prefill logits
             tok = int(jnp.argmax(next_logits[0])) if req.temperature <= 1e-4 \
                 else int(jax.random.categorical(
@@ -196,16 +236,59 @@ class ServingEngine:
         if done:
             req.done = True
             self.slots[slot] = None
+            self.pool.release(req.req_id)
+            self._tables[slot] = 0
+
+    # ------------------------------------------------------------------
+    def _preempt_youngest(self, exclude: int) -> bool:
+        """Release the most recently admitted other request back to the
+        queue (vLLM recompute preemption: its prompt+generated tokens
+        re-prefill on next admission). Returns False if no victim."""
+        victims = [(req.req_id, slot) for slot, req in enumerate(self.slots)
+                   if req is not None and slot != exclude]
+        if not victims:
+            return False
+        _, slot = max(victims)
+        req = self.slots[slot]
+        self.pool.release(req.req_id)
+        self.slots[slot] = None
+        self._tables[slot] = 0
+        req.input_ids = np.concatenate(
+            [req.input_ids, np.asarray(req.generated, np.int32)])
+        self._requeue_front(req)
+        return True
+
+    def _grow_pages(self):
+        """Before each chunk, make sure every active slot owns pages for
+        the tokens the chunk will write; push the table rows to device."""
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            need = min(int(self._slot_len[slot]) + self.chunk_steps + 1,
+                       self.pages_per_slot * self.page_size)
+            while True:
+                try:
+                    table = self.pool.allocate(req.req_id, need)
+                    break
+                except MemoryError:
+                    if not self._preempt_youngest(exclude=slot):
+                        raise MemoryError(
+                            "page pool exhausted by a single sequence")
+            self._tables[slot] = 0
+            self._tables[slot, :len(table)] = table
+        self.cache["page_tables"] = jnp.asarray(self._tables)
 
     # ------------------------------------------------------------------
     def step(self) -> int:
         """Admit waiting requests, decode `chunk_steps` tokens for all
         active slots in one jitted call (one host round-trip per chunk).
         Returns the number of active slots processed."""
-        if not hasattr(self, "_slot_tokens"):
-            self._slot_tokens = np.zeros(self.num_slots, np.int32)
-            self._slot_len = np.zeros(self.num_slots, np.int64)
         self._admit()
+        if not any(r is not None for r in self.slots):
+            return 0
+        # grow BEFORE taking the active mask: growth may preempt a slot,
+        # and a preempted slot must not be decoded or recorded this chunk
+        self._grow_pages()
         active_mask = np.asarray(
             [r is not None for r in self.slots], bool)
         if not active_mask.any():
@@ -228,8 +311,11 @@ class ServingEngine:
         return int(active_mask.sum())
 
     def run_until_idle(self, max_steps: int = 100000):
-        while (not self.queue.empty()
-               or any(r is not None for r in self.slots)):
+        while True:
+            with self._lock:
+                queued = bool(self._queue)
+            if not queued and all(r is None for r in self.slots):
+                return
             self.step()
             max_steps -= 1
             if max_steps <= 0:

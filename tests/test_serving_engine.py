@@ -75,6 +75,32 @@ def test_engine_recycles_slots_and_streams(model_params):
         assert streamed[i][-1][1] is True  # final callback marks done
 
 
+def test_engine_preemption_recovers(model_params):
+    """When the page pool can't grow a sequence, the youngest other request
+    is preempted (pages released, recompute-requeued) and BOTH requests
+    still finish with correct outputs. Regression: a slot preempted inside
+    _grow_pages must not be decoded/recorded in the same chunk."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.float32,
+                           chunk_steps=4)
+    preempts = []
+    orig = engine._preempt_youngest
+    engine._preempt_youngest = lambda exclude: (preempts.append(exclude),
+                                                orig(exclude))[1]
+    # two 40-token prompts on a 7-usable-page pool (2 slots x 4 pages - trash)
+    prompts = [list(range(5, 45)), list(range(7, 47))]
+    reqs = [engine.submit(p, max_new_tokens=8) for p in prompts]
+    engine.run_until_idle()
+    assert all(r.done for r in reqs)
+    assert preempts, "pool was sized to force preemption"
+    assert engine.pool.free_pages == 7  # fully drained back
+    for req, prompt in zip(reqs, prompts):
+        assert req.generated == _reference(model, params, prompt, 8), \
+            (req.generated,)
+
+
 def test_engine_interleaved_admission(model_params):
     """A request submitted mid-flight joins without disturbing others."""
     model, params = model_params
