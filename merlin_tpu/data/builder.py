@@ -52,6 +52,16 @@ class ConcatDataset:
             out.extend(getattr(d, "modality_lengths", [1] * len(d)))
         return out
 
+    # -- resume cursor: one entry per child (None where unsupported) ------
+    def data_state(self):
+        return [d.data_state() if hasattr(d, "data_state") else None
+                for d in self.datasets]
+
+    def load_data_state(self, states):
+        for d, s in zip(self.datasets, states or []):
+            if s is not None and hasattr(d, "load_data_state"):
+                d.load_data_state(s)
+
 
 def build_dataloader(tokenizer, special_ids, data_args, training_args,
                      *, process_index: Optional[int] = None,
@@ -67,7 +77,10 @@ def build_dataloader(tokenizer, special_ids, data_args, training_args,
     common = dict(model_max_length=training_args.model_max_length,
                   seed=training_args.seed)
     stream_common = dict(process_index=process_index,
-                         process_count=process_count, **common)
+                         process_count=process_count,
+                         resumable=getattr(training_args, "resumable_data",
+                                           True),
+                         **common)
 
     datasets: List = []
     if data_args.conversation_datasets:
@@ -111,9 +124,16 @@ def batch_iterator(dataset, collator: Collator, *, batch_size: int,
                    sampler=None, prefetch: int = 2,
                    max_images: Optional[int] = None) -> Iterator[Dict]:
     """Batches forever (streaming datasets are infinite by construction);
-    a background thread keeps `prefetch` collated batches ready."""
+    a background thread keeps `prefetch` collated batches ready.
+
+    When the dataset exposes a resume cursor (``data_state``), every batch
+    carries a ``__data_state__`` snapshot taken right after its samples
+    were drawn — the state rides WITH the batch through the prefetch
+    queues, so the trainer checkpoints the cursor matching the batches it
+    actually consumed (not the ones sitting in flight)."""
     if max_images is not None:
         collator.max_images = max_images
+    track_state = hasattr(dataset, "data_state")
 
     def indices():
         while True:
@@ -129,7 +149,10 @@ def batch_iterator(dataset, collator: Collator, *, batch_size: int,
             except StopIteration:
                 return
             if len(batch) == batch_size:
-                q.put(collator(batch))
+                out = collator(batch)
+                if track_state:
+                    out["__data_state__"] = dataset.data_state()
+                q.put(out)
                 batch = []
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)

@@ -69,34 +69,44 @@ def _open_shard(path: str):
     return open(path, "rb")
 
 
+def indexed_tar_samples(shard: str) -> Iterator[tuple]:
+    """One shard's grouped samples as (raw_index, sample) — the raw index
+    is the sample's position among ALL grouped samples in the tar, the
+    stable coordinate the resume cursor uses."""
+    with tarfile.open(fileobj=_open_shard(shard), mode="r|*") as tf:
+        idx = 0
+        current_key = None
+        sample: Dict[str, bytes] = {}
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = os.path.basename(member.name)
+            if "." not in name:
+                continue
+            key, ext = name.split(".", 1)
+            ext = ext.lower()
+            if current_key is not None and key != current_key:
+                if sample:
+                    sample["__key__"] = current_key
+                    yield idx, sample
+                    idx += 1
+                sample = {}
+            current_key = key
+            data = tf.extractfile(member)
+            if data is not None:
+                sample[ext] = data.read()
+        if sample and current_key is not None:
+            sample["__key__"] = current_key
+            yield idx, sample
+
+
 def tar_to_samples(shard_it: Iterator[str]) -> Iterator[Dict[str, bytes]]:
     """Stream tar members grouped by key (basename before first dot) into
     sample dicts {ext: bytes, '__key__': key}."""
     for shard in shard_it:
         try:
-            with tarfile.open(fileobj=_open_shard(shard), mode="r|*") as tf:
-                current_key = None
-                sample: Dict[str, bytes] = {}
-                for member in tf:
-                    if not member.isfile():
-                        continue
-                    name = os.path.basename(member.name)
-                    if "." not in name:
-                        continue
-                    key, ext = name.split(".", 1)
-                    ext = ext.lower()
-                    if current_key is not None and key != current_key:
-                        if sample:
-                            sample["__key__"] = current_key
-                            yield sample
-                        sample = {}
-                    current_key = key
-                    data = tf.extractfile(member)
-                    if data is not None:
-                        sample[ext] = data.read()
-                if sample and current_key is not None:
-                    sample["__key__"] = current_key
-                    yield sample
+            for _, sample in indexed_tar_samples(shard):
+                yield sample
         except Exception as e:  # skip-and-continue fault tolerance
             logger.warning("shard %s failed: %s", shard, e)
             continue
@@ -137,6 +147,145 @@ def first_image_bytes(sample: Dict[str, bytes]) -> Optional[bytes]:
     return None
 
 
+class ResumableSampleStream:
+    """The python shard pipeline with an EXACT-resume cursor.
+
+    Yields the same sample sequence as the composed generators in
+    :func:`shard_sample_stream` (same stages, same rng seeds), but tracks a
+    checkpointable cursor: ``get_state()`` returns a small dict (rng state,
+    current shard index in this worker's substream, raw sample offset in
+    that shard, and the shuffle reservoir's samples as (shard, index)
+    COORDINATES — ~16KB for the default 1000-buffer, not megabytes of
+    pixels). ``set_state()`` re-fetches the reservoir by coordinate
+    (bounded I/O: the few shards the reservoir spans), skims the current
+    shard to the offset, and continues bit-identically to an uninterrupted
+    run. The reference explicitly cannot checkpoint webdataset state
+    (SURVEY.md §5 "data-stream state is NOT checkpointed"): a resume there
+    replays the stream from zero.
+    """
+
+    def __init__(self, shards: Sequence[str], *, seed: int = 3407,
+                 shard_shuffle_seed: int = 42, sample_buffer: int = 1000,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None,
+                 worker_id: int = 0, num_workers: int = 1,
+                 select=has_caption_and_image):
+        self.shards = list(shards)
+        self.seed = seed
+        self.shard_shuffle_seed = shard_shuffle_seed
+        self.bufsize = sample_buffer
+        self.process_index = process_index
+        self.process_count = process_count
+        self.worker_id = worker_id
+        self.num_workers = num_workers
+        self.select = select
+
+        self._rng = random.Random(shard_shuffle_seed)
+        self._buf: List[tuple] = []     # [((shard_pos, raw_idx), sample)]
+        self._shard_pos = -1            # current shard in the substream
+        self._raw_idx = 0               # raw samples consumed from it
+        self._shard_iter = self._shard_paths()
+        self._cur: Iterator = iter(())
+
+    def _shard_paths(self) -> Iterator[str]:
+        """This worker's deterministic infinite shard substream (the same
+        stage composition shard_sample_stream uses)."""
+        it = infinite_shard_list(self.shards, self.seed)
+        it = buffer_shuffle(it, bufsize=max(self.process_count or 1, 1),
+                            seed=self.shard_shuffle_seed)
+        it = split_by_host(it, process_index=self.process_index,
+                           process_count=self.process_count)
+        return split_by_worker(it, self.worker_id, self.num_workers)
+
+    def _shard_path_at(self, pos: int) -> str:
+        """Path of substream shard `pos` by deterministic replay (host-side
+        string work only, no I/O)."""
+        it = self._shard_paths()
+        for _ in range(pos):
+            next(it)
+        return next(it)
+
+    # -- upstream: next selected sample with its coordinate --------------
+    def _next_selected(self):
+        while True:
+            for idx, sample in self._cur:
+                self._raw_idx = idx + 1
+                if self.select(sample):
+                    return (self._shard_pos, idx), sample
+            self._shard_pos += 1
+            self._raw_idx = 0
+            path = next(self._shard_iter)
+            try:
+                self._cur = indexed_tar_samples(path)
+            except Exception as e:  # skip-and-continue fault tolerance
+                logger.warning("shard %s failed: %s", path, e)
+                self._cur = iter(())
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, bytes]:
+        # identical reservoir algorithm (and seed) to buffer_shuffle
+        while len(self._buf) < self.bufsize:
+            try:
+                self._buf.append(self._next_selected())
+            except StopIteration:
+                break
+        item = self._next_selected()
+        i = self._rng.randrange(len(self._buf))
+        _, out = self._buf[i]
+        self._buf[i] = item
+        return out
+
+    # -- cursor -----------------------------------------------------------
+    def get_state(self) -> Dict:
+        return {
+            "shard_pos": self._shard_pos,
+            "raw_idx": self._raw_idx,
+            "rng": self._rng.getstate(),
+            "buffer": [coord for coord, _ in self._buf],
+        }
+
+    def set_state(self, state: Dict):
+        self._rng.setstate(tuple(
+            tuple(x) if isinstance(x, list) else x for x in state["rng"]))
+        # re-fetch the reservoir by coordinate, grouped per shard
+        coords = [tuple(c) for c in state["buffer"]]
+        fetched: Dict[tuple, Dict] = {}
+        by_shard: Dict[int, set] = {}
+        for sp, ri in coords:
+            by_shard.setdefault(sp, set()).add(ri)
+        for sp, want in sorted(by_shard.items()):
+            path = self._shard_path_at(sp)
+            for idx, sample in indexed_tar_samples(path):
+                if idx in want:
+                    fetched[(sp, idx)] = sample
+                    want.discard(idx)
+                    if not want:
+                        break
+        missing = [c for c in coords if c not in fetched]
+        if missing:
+            raise ValueError(f"resume: {len(missing)} reservoir samples "
+                             f"not found (shards changed?): {missing[:3]}")
+        self._buf = [(c, fetched[c]) for c in coords]
+
+        # position the live cursor: shard_iter must next yield pos+1;
+        # the current shard is reopened and skimmed to raw_idx
+        self._shard_pos = int(state["shard_pos"])
+        self._raw_idx = int(state["raw_idx"])
+        self._shard_iter = self._shard_paths()
+        self._cur = iter(())
+        if self._shard_pos >= 0:
+            for _ in range(self._shard_pos):
+                next(self._shard_iter)
+            path = next(self._shard_iter)
+            try:
+                it = indexed_tar_samples(path)
+                self._cur = (pair for pair in it if pair[0] >= self._raw_idx)
+            except Exception as e:
+                logger.warning("resume: shard %s failed: %s", path, e)
+
+
 def shard_sample_stream(shards: Sequence[str], *, seed: int = 3407,
                         shard_shuffle_seed: int = 42,
                         sample_buffer: int = 1000,
@@ -144,14 +293,25 @@ def shard_sample_stream(shards: Sequence[str], *, seed: int = 3407,
                         process_count: Optional[int] = None,
                         worker_id: int = 0, num_workers: int = 1,
                         select=has_caption_and_image,
-                        use_native: Optional[bool] = None
+                        use_native: Optional[bool] = None,
+                        resumable: bool = False
                         ) -> Iterator[Dict[str, bytes]]:
     """The full reference pipeline as one composed iterator.
 
     When the native C++ loader is available (and shards are local files),
     tar reading + sample grouping run on C++ threads off the GIL; the
     shard set is statically split per host/worker and the loader handles
-    seed-shuffled infinite epochs. Fallback: the pure-Python stages."""
+    seed-shuffled infinite epochs. Fallback: the pure-Python stages.
+
+    ``resumable=True`` returns a :class:`ResumableSampleStream` (python
+    stages; the native loader has no cursor yet) whose state can be
+    checkpointed and restored mid-shard."""
+    if resumable:
+        return ResumableSampleStream(
+            shards, seed=seed, shard_shuffle_seed=shard_shuffle_seed,
+            sample_buffer=sample_buffer, process_index=process_index,
+            process_count=process_count, worker_id=worker_id,
+            num_workers=num_workers, select=select)
     if use_native is None:
         try:
             from merlin_tpu.data.native_loader import native_available

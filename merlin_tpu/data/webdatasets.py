@@ -49,7 +49,8 @@ class _StreamDatasetBase:
                  multimodal_cfg: MultimodalCfg, *, model_max_length: int = 2048,
                  seed: int = 3407, process_index: Optional[int] = None,
                  process_count: Optional[int] = None, worker_id: int = 0,
-                 num_workers: int = 1, spec: Optional[registry.WebdataSpec] = None):
+                 num_workers: int = 1, spec: Optional[registry.WebdataSpec] = None,
+                 resumable: bool = False):
         self.name = dataset
         self.spec = spec or registry.get_spec(self.family, dataset)
         self.tokenizer = tokenizer
@@ -61,7 +62,8 @@ class _StreamDatasetBase:
         self._stream = iter(shard_sample_stream(
             self.spec.shard_list(), seed=seed, process_index=process_index,
             process_count=process_count, worker_id=worker_id,
-            num_workers=num_workers, select=has_caption_and_image))
+            num_workers=num_workers, select=has_caption_and_image,
+            resumable=resumable))
         self.packer = PairPacker(
             tokenizer, special_ids, image_token_len=multimodal_cfg.image_token_len,
             use_im_start_end=multimodal_cfg.use_im_start_end,
@@ -89,6 +91,16 @@ class _StreamDatasetBase:
     def __iter__(self):
         while True:
             yield self[0]
+
+    # -- resume cursor (trainer checkpoint/resume; SURVEY §5 beats the
+    # reference, which replays webdataset streams from zero) --------------
+    def data_state(self) -> Optional[Dict]:
+        get = getattr(self._stream, "get_state", None)
+        return {"stream": get()} if get else None
+
+    def load_data_state(self, state: Optional[Dict]):
+        if state and hasattr(self._stream, "set_state"):
+            self._stream.set_state(state["stream"])
 
 
 class PairWebDataset(_StreamDatasetBase):

@@ -50,13 +50,20 @@ def train(argv: Optional[Sequence[str]] = None, *, tiny: bool = False):
     global_batch = (training_args.per_device_train_batch_size
                     * training_args.gradient_accumulation_steps
                     * jax.local_device_count())
-    batches = batch_iterator(
-        data["train_dataset"], data["collator"],
-        batch_size=global_batch, sampler=data["sampler"])
 
     trainer = Trainer(bundle, training_args)
     trainer.init_state()
-    trainer.maybe_resume()
+    resumed = trainer.maybe_resume()
+    # restore the exact data-stream cursor BEFORE the producer thread
+    # starts pulling samples (falls back to seed+step replay when absent)
+    data_state = getattr(trainer, "_resumed_data_state", None) or {}
+    if resumed and data_state.get("datasets") is not None and \
+            hasattr(data["train_dataset"], "load_data_state"):
+        data["train_dataset"].load_data_state(data_state["datasets"])
+
+    batches = batch_iterator(
+        data["train_dataset"], data["collator"],
+        batch_size=global_batch, sampler=data["sampler"])
     metrics = trainer.train(batches)
     trainer.save_final()
     logger.info("done: %s", metrics)

@@ -145,28 +145,48 @@ class Trainer:
 
             if args.save_steps and (step + 1) % args.save_steps == 0:
                 save_checkpoint(args.output_dir, step + 1, self.state,
-                                data_state={"step": step + 1,
-                                            "seed": args.seed},
+                                data_state=self._data_state(step + 1),
                                 save_total_limit=args.save_total_limit)
         return last_metrics
+
+    def _data_state(self, step: int) -> Dict:
+        """seed+step (replay fallback) + the exact stream cursor of the
+        last consumed batch when the pipeline provides one."""
+        out = {"step": step, "seed": self.args.seed}
+        cursor = getattr(self, "_consumed_data_state", None)
+        if cursor is not None:
+            out["datasets"] = cursor
+        return out
 
     def _device_prefetch(self, batches, accum: int, depth: int = 2):
         """Stack microbatches and device_put ahead of consumption so H2D
         transfer overlaps the previous step (the reference relies on torch
-        DataLoader pin_memory + workers for this)."""
+        DataLoader pin_memory + workers for this). Each batch's attached
+        resume cursor (``__data_state__``) is recorded when the batch is
+        YIELDED, so checkpoints never run ahead of consumption."""
         import collections
 
         sharding = NamedSharding(self.mesh, P(None, ("data", "fsdp")))
         queue = collections.deque()
+
+        def pop(entry):
+            batch, state = entry
+            if state is not None:
+                self._consumed_data_state = state
+            return batch
+
         for batch in batches:
+            state = batch.pop("__data_state__", None) \
+                if isinstance(batch, dict) else None
             batch = stack_microbatches(batch, accum)
-            queue.append(jax.device_put(batch, sharding))
+            queue.append((jax.device_put(batch, sharding), state))
             if len(queue) >= depth:
-                yield queue.popleft()
-        yield from queue
+                yield pop(queue.popleft())
+        while queue:
+            yield pop(queue.popleft())
 
     def save_final(self):
         return save_checkpoint(
             self.args.output_dir, int(self.state.step), self.state,
-            data_state={"step": int(self.state.step), "seed": self.args.seed},
+            data_state=self._data_state(int(self.state.step)),
             save_total_limit=0)
