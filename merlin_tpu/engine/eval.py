@@ -26,10 +26,22 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--image", default=None, help="for --benchmark single")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--max-videos", type=int, default=0)
+    p.add_argument("--num-chunks", type=int, default=1,
+                   help="tracking: shard videos across workers")
+    p.add_argument("--chunk-idx", type=int, default=0)
+    p.add_argument("--merge-chunks", action="store_true",
+                   help="tracking: aggregate chunk pickles, no model run")
     p.add_argument("--tiny", action="store_true")
     args, rest = p.parse_known_args(argv)
     margs, dargs, targs = parse_args(rest)
     logger = setup_logger(None, 0)
+
+    if args.benchmark == "tracking" and args.merge_chunks:
+        from merlin_tpu.eval import tracking
+        out = dargs.eval_output or "output/tracking.json"
+        result = tracking.merge_chunks(out)
+        logger.info("tracking merged: %s", result)
+        return result
 
     bundle = build_model_tokenizer(margs, dargs, targs, tiny=args.tiny)
     init_or_load_params(bundle, composite_checkpoint=margs.pretrain_model)
@@ -61,7 +73,9 @@ def main(argv: Optional[Sequence[str]] = None):
     else:  # tracking
         from merlin_tpu.eval import tracking
         result = tracking.run(bundle, dargs.eval_image_dir, out, cfg,
-                              max_videos=args.max_videos)
+                              max_videos=args.max_videos,
+                              num_chunks=args.num_chunks,
+                              chunk_idx=args.chunk_idx)
     logger.info("%s result: %s", args.benchmark, result)
     return result
 

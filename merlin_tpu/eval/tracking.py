@@ -112,9 +112,24 @@ def track_video(model: EvalModel, frames: Sequence[str],
                        gt_boxes=list(gt_boxes or []), ious=ious)
 
 
+def chunk_videos(videos: Sequence[str], num_chunks: int,
+                 chunk_idx: int) -> List[str]:
+    """Contiguous video split across eval workers (reference
+    run_llava_tracking.py:410-436 fans chunks out with mp.spawn per GPU;
+    here each chunk is one process/host invocation via
+    --num-chunks/--chunk-idx)."""
+    if num_chunks <= 1:
+        return list(videos)
+    if not 0 <= chunk_idx < num_chunks:
+        raise ValueError(f"chunk_idx {chunk_idx} not in [0, {num_chunks})")
+    per = -(-len(videos) // num_chunks)
+    return list(videos[chunk_idx * per: (chunk_idx + 1) * per])
+
+
 def run(bundle, dataset_dir: str, output_dir: str,
         eval_cfg: Optional[EvalConfig] = None, *, max_videos: int = 0,
-        max_frames: int = 0) -> Dict[str, float]:
+        max_frames: int = 0, num_chunks: int = 1,
+        chunk_idx: int = 0) -> Dict[str, float]:
     eval_cfg = eval_cfg or EvalConfig(do_sample=True, temperature=0.2,
                                       max_new_tokens=64)
     model = EvalModel(bundle, eval_cfg)
@@ -122,6 +137,7 @@ def run(bundle, dataset_dir: str, output_dir: str,
                     if os.path.isdir(d))
     if max_videos:
         videos = videos[:max_videos]
+    videos = chunk_videos(videos, num_chunks, chunk_idx)
     os.makedirs(output_dir, exist_ok=True)
 
     results: List[VideoResult] = []
@@ -134,7 +150,9 @@ def run(bundle, dataset_dir: str, output_dir: str,
                           max_frames=max_frames)
         results.append(res)
         with open(os.path.join(output_dir, f"{res.name}_pred.pkl"), "wb") as f:
-            pickle.dump({"boxes": res.pred_boxes, "ious": res.ious}, f)
+            pickle.dump({"boxes": res.pred_boxes, "ious": res.ious,
+                         "mean_iou": res.mean_iou,
+                         "success_auc": res.success_auc()}, f)
 
     summary = {
         "videos": len(results),
@@ -142,3 +160,26 @@ def run(bundle, dataset_dir: str, output_dir: str,
         "success_auc": float(np.mean([r.success_auc() for r in results])) if results else 0.0,
     }
     return summary
+
+
+def merge_chunks(output_dir: str) -> Dict[str, float]:
+    """Aggregate every chunk's per-video pickles into the overall summary
+    (the reference's post-spawn gather, run_llava_tracking.py:430-436)."""
+    ious, aucs = [], []
+    for path in sorted(glob.glob(os.path.join(output_dir, "*_pred.pkl"))):
+        with open(path, "rb") as f:
+            rec = pickle.load(f)
+        if "mean_iou" in rec:
+            ious.append(rec["mean_iou"])
+            aucs.append(rec["success_auc"])
+        else:  # pre-chunking pickles carry raw ious only
+            vi = rec.get("ious", [])
+            ious.append(float(np.mean(vi)) if vi else 0.0)
+            t = np.linspace(0, 1, 21)
+            aucs.append(float(np.mean([(np.asarray(vi) > x).mean()
+                                       for x in t])) if vi else 0.0)
+    return {
+        "videos": len(ious),
+        "mean_iou": float(np.mean(ious)) if ious else 0.0,
+        "success_auc": float(np.mean(aucs)) if aucs else 0.0,
+    }

@@ -121,6 +121,40 @@ def test_tracking_harness(tmp_path, bundle):
     assert os.path.exists(out / "cat-1_pred.pkl")
 
 
+def test_tracking_chunked_matches_serial(tmp_path, bundle):
+    """--num-chunks/--chunk-idx video sharding (run_llava_tracking.py:410-436):
+    chunked runs + merge == one serial run."""
+    from PIL import Image
+    from merlin_tpu.eval import tracking
+    from merlin_tpu.eval.runner import EvalConfig
+
+    for v in range(3):
+        vdir = tmp_path / "videos" / f"vid-{v}"
+        (vdir / "img").mkdir(parents=True)
+        for i in range(3):
+            Image.new("RGB", (48, 32), (i * 40, v * 60, 20)).save(
+                vdir / "img" / f"{i:08d}.jpg")
+        (vdir / "groundtruth.txt").write_text(
+            "4,4,16,12\n6,5,16,12\n8,6,16,12\n")
+
+    # partition sanity: disjoint, order-preserving, covers everything
+    vids = [f"vid-{v}" for v in range(3)]
+    parts = [tracking.chunk_videos(vids, 2, i) for i in range(2)]
+    assert parts[0] + parts[1] == vids
+
+    cfg = EvalConfig(max_new_tokens=24)
+    serial = tracking.run(bundle, str(tmp_path / "videos"),
+                          str(tmp_path / "serial"), cfg, max_frames=3)
+    out = tmp_path / "chunked"
+    for idx in range(2):
+        tracking.run(bundle, str(tmp_path / "videos"), str(out), cfg,
+                     max_frames=3, num_chunks=2, chunk_idx=idx)
+    merged = tracking.merge_chunks(str(out))
+    assert merged["videos"] == serial["videos"] == 3
+    assert merged["mean_iou"] == pytest.approx(serial["mean_iou"])
+    assert merged["success_auc"] == pytest.approx(serial["success_auc"])
+
+
 def test_mmbench_batched_matches_sequential(tmp_path, bundle):
     import pandas as pd
     from merlin_tpu.eval import mmbench
