@@ -148,11 +148,14 @@ class Resampler(nn.Module):
         q_in = LayerNorm(dtype=self.dtype, name="ln_q")(
             jnp.broadcast_to(queries.astype(self.dtype), (b,) + queries.shape))
 
-        # add 2D sin-cos positions to keys (grid) and queries (query grid)
+        # 2D sin-cos positions on queries and KEYS only — the reference
+        # calls attn(q+pos, x+pos, x): values see raw x
+        # (qwen_nosampler_encoder.py:155-162)
+        k_in = kv_in
         side = int(math.isqrt(p))
         if side * side == p:
             pos_k = jnp.asarray(_sincos_2d_pos_embed(dim, side))
-            kv_in = kv_in + pos_k[None].astype(self.dtype)
+            k_in = kv_in + pos_k[None].astype(self.dtype)
         qside = int(math.isqrt(self.num_queries))
         if qside * qside == self.num_queries:
             pos_q = jnp.asarray(_sincos_2d_pos_embed(dim, qside))
@@ -161,7 +164,7 @@ class Resampler(nn.Module):
         q = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
                          use_bias=True, dtype=self.dtype, name="q_attn")(q_in)
         k = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
-                         use_bias=True, dtype=self.dtype, name="k_attn")(kv_in)
+                         use_bias=True, dtype=self.dtype, name="k_attn")(k_in)
         v = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
                          use_bias=True, dtype=self.dtype, name="v_attn")(kv_in)
         out = mha_reference(q, k, v, causal=False)
@@ -176,6 +179,59 @@ class Resampler(nn.Module):
             (dim, dim), jnp.float32)
         return jnp.einsum("bqd,de->bqe", out.astype(self.dtype),
                           proj.astype(self.dtype)).astype(self.dtype)
+
+
+def resampler_params_from_torch(state_dict, *, dim: int,
+                                num_heads: int) -> dict:
+    """Qwen-VL Resampler state dict -> :class:`Resampler` flax params.
+
+    Source: qwen_nosampler_encoder.py:97-165. Its ``attn`` is a standard
+    ``nn.MultiheadAttention`` whose in_proj packs [all-q; all-k; all-v]
+    blocks (NOT the per-head interleave of the tower's VisualAttention).
+    The reference's learnable ``pos_embed`` is initialized to — and
+    semantically is — the 2D sincos table our Resampler recomputes on the
+    fly, so it has no target parameter here. Official Qwen-VL visual
+    checkpoints carry ``ln_post``/``proj`` after the attn_pool (the
+    reference commented its own copies out, :384-387); they are mapped
+    when present, else left at fresh initialization.
+    """
+    from merlin_tpu.models.convert import _np
+
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def key(name):
+        for cand in (name, "attn_pool." + name, "resampler." + name):
+            if cand in sd:
+                return sd[cand]
+        raise KeyError(name)
+
+    h, d = num_heads, dim // num_heads
+    w = key("attn.in_proj_weight")           # (3E, E) block-packed
+    b = key("attn.in_proj_bias")
+    wq, wk, wv = w[:dim], w[dim:2 * dim], w[2 * dim:]
+    bq, bk, bv = b[:dim], b[dim:2 * dim], b[2 * dim:]
+    p = {
+        "query": key("query"),
+        "kv_proj": {"kernel": key("kv_proj.weight").T},
+        "ln_q": {"scale": key("ln_q.weight"), "bias": key("ln_q.bias")},
+        "ln_kv": {"scale": key("ln_kv.weight"), "bias": key("ln_kv.bias")},
+        "q_attn": {"kernel": wq.T.reshape(dim, h, d), "bias": bq.reshape(h, d)},
+        "k_attn": {"kernel": wk.T.reshape(dim, h, d), "bias": bk.reshape(h, d)},
+        "v_attn": {"kernel": wv.T.reshape(dim, h, d), "bias": bv.reshape(h, d)},
+        "out_attn": {"kernel": key("attn.out_proj.weight").T.reshape(h, d, dim),
+                     "bias": key("attn.out_proj.bias")},
+    }
+    for src, dst in (("ln_post.weight", ("ln_post", "scale")),
+                     ("ln_post.bias", ("ln_post", "bias"))):
+        try:
+            p.setdefault(dst[0], {})[dst[1]] = key(src)
+        except KeyError:
+            pass
+    try:
+        p["proj"] = key("proj")
+    except KeyError:
+        pass
+    return p
 
 
 PROJECTOR_KINDS = {

@@ -75,10 +75,11 @@ def qwen_vit_bigG(image_size: int = 448, **kw) -> ViTConfig:
     1664-wide, 48 layers, patch 14, no CLS token, fixed 2D-sincos absolute
     positions recomputed for the current grid (the reference's
     get_abs_pos:28-44 interpolation becomes unnecessary)."""
+    kw.setdefault("pos_embed", "sincos2d")  # 'learned' for pretrained loads
     return ViTConfig(hidden_size=1664, num_layers=48, num_heads=16,
                      intermediate_size=8192, patch_size=14,
                      image_size=image_size, activation="gelu",
-                     use_class_token=False, pos_embed="sincos2d", **kw)
+                     use_class_token=False, **kw)
 
 
 def tiny_vit(**kw) -> ViTConfig:
@@ -232,6 +233,73 @@ def interpolate_pos_embedding(pos: np.ndarray, new_positions: int,
         method="bicubic")
     return np.concatenate(
         [cls_part, np.asarray(resized).reshape(new_size * new_size, -1)], axis=0)
+
+
+def qwen_vit_params_from_torch(state_dict, cfg: ViTConfig) -> dict:
+    """Qwen-VL ViT-bigG state dict -> ViT flax params.
+
+    Source module: the reference's vendored VisionTransformer
+    (qwen_nosampler_encoder.py:340-425; keys optionally under 'visual.' or
+    'vision_tower.'). Two Qwen-specific layouts handled here:
+
+      * ``attn.in_proj`` packs qkv INTERLEAVED PER HEAD — row block for
+        head n is [q_n | k_n | v_n] of head_dim each (VisualAttention
+        views (np, 3*hn) then splits the last dim, :202-212) — unlike the
+        usual [all-q; all-k; all-v] packing;
+      * ``positional_embedding`` is a learned (256, width) table the
+        reference bicubically interpolates to the live grid per forward
+        (get_abs_pos, :28-44); we interpolate ONCE here to cfg's grid, so
+        pass a cfg with ``pos_embed='learned'`` (``qwen_vit_bigG(
+        pos_embed='learned')``) when loading pretrained weights.
+    """
+    from merlin_tpu.models.convert import _np, _o_kernel
+
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def key(name):
+        for cand in (name, "visual." + name, "vision_tower." + name,
+                     "model.vision_tower." + name):
+            if cand in sd:
+                return sd[cand]
+        raise KeyError(name)
+
+    h = cfg.num_heads
+    d = cfg.hidden_size // h
+    p = {
+        "patch_embed": {"kernel": key("conv1.weight").transpose(2, 3, 1, 0)},
+        "pre_norm": {"scale": key("ln_pre.weight"),
+                     "bias": key("ln_pre.bias")},
+    }
+    if cfg.pos_embed == "learned":
+        pos = key("positional_embedding")
+        p["position_embedding"] = interpolate_pos_embedding(
+            pos, cfg.num_positions, cfg.use_class_token)
+    for i in range(cfg.num_layers):
+        lb = f"transformer.resblocks.{i}."
+        w = key(lb + "attn.in_proj.weight")        # (3E, E), head-interleaved
+        b_ = key(lb + "attn.in_proj.bias")
+        w3 = w.reshape(h, 3, d, cfg.hidden_size)   # (head, qkv, d, in)
+        b3 = b_.reshape(h, 3, d)
+        p[f"layers_{i}"] = {
+            "norm1": {"scale": key(lb + "ln_1.weight"),
+                      "bias": key(lb + "ln_1.bias")},
+            "norm2": {"scale": key(lb + "ln_2.weight"),
+                      "bias": key(lb + "ln_2.bias")},
+            "q_proj": {"kernel": w3[:, 0].transpose(2, 0, 1),
+                       "bias": b3[:, 0]},
+            "k_proj": {"kernel": w3[:, 1].transpose(2, 0, 1),
+                       "bias": b3[:, 1]},
+            "v_proj": {"kernel": w3[:, 2].transpose(2, 0, 1),
+                       "bias": b3[:, 2]},
+            "o_proj": {"kernel": _o_kernel(key(lb + "attn.out_proj.weight"),
+                                           h, d),
+                       "bias": key(lb + "attn.out_proj.bias")},
+            "mlp": {"fc1": {"kernel": key(lb + "mlp.c_fc.weight").T,
+                            "bias": key(lb + "mlp.c_fc.bias")},
+                    "fc2": {"kernel": key(lb + "mlp.c_proj.weight").T,
+                            "bias": key(lb + "mlp.c_proj.bias")}},
+        }
+    return p
 
 
 def vit_params_from_hf(state_dict, cfg: ViTConfig) -> dict:
