@@ -108,11 +108,13 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
     if layout == "paged":
         pps = -(-max_len // page_size)
         total = batch * pps
+        # head-packed page layout: one page = one contiguous region for
+        # ALL kv heads (single-DMA pages; ops/paged_attention.py)
         layer = lambda: {
             "k_pages": jnp.zeros(
-                (cfg.kv_heads, total, page_size, cfg.head_size), dtype),
+                (total, page_size, cfg.kv_heads * cfg.head_size), dtype),
             "v_pages": jnp.zeros(
-                (cfg.kv_heads, total, page_size, cfg.head_size), dtype),
+                (total, page_size, cfg.kv_heads * cfg.head_size), dtype),
         }
         tables = jnp.arange(total, dtype=jnp.int32).reshape(batch, pps)
         return {
@@ -205,18 +207,19 @@ class Attention(nn.Module):
                 out = step[:, None]
             else:
                 # prefill: bulk-write the prompt into the (identity-mapped)
-                # pages; attention is plain self-attention over the prompt
+                # pages; attention is plain self-attention over the prompt.
+                # head-packed layout: each token is one (hkv*d,) row.
                 b_, s_ = k.shape[:2]
                 pps = tables.shape[1]
-                page = kp.shape[2]
-                kt = jnp.transpose(k, (2, 0, 1, 3)).astype(kp.dtype)
-                vt = jnp.transpose(v, (2, 0, 1, 3)).astype(vp.dtype)
-                kview = kp.reshape(hkv, b_, pps * page, d)
-                vview = vp.reshape(hkv, b_, pps * page, d)
-                kview = jax.lax.dynamic_update_slice(kview, kt, (0, 0, 0, 0))
-                vview = jax.lax.dynamic_update_slice(vview, vt, (0, 0, 0, 0))
-                kp = kview.reshape(hkv, b_ * pps, page, d)
-                vp = vview.reshape(hkv, b_ * pps, page, d)
+                page = kp.shape[1]
+                kt = k.reshape(b_, s_, hkv * d).astype(kp.dtype)
+                vt = v.reshape(b_, s_, hkv * d).astype(vp.dtype)
+                kview = kp.reshape(b_, pps * page, hkv * d)
+                vview = vp.reshape(b_, pps * page, hkv * d)
+                kview = jax.lax.dynamic_update_slice(kview, kt, (0, 0, 0))
+                vview = jax.lax.dynamic_update_slice(vview, vt, (0, 0, 0))
+                kp = kview.reshape(b_ * pps, page, hkv * d)
+                vp = vview.reshape(b_ * pps, page, hkv * d)
                 out = flash_or_xla_attention(
                     q, k, v, causal=True,
                     segment_ids_q=segment_ids, segment_ids_kv=segment_ids,

@@ -6,12 +6,19 @@ in fixed-size pages scattered across HBM; a page table maps logical blocks
 to physical pages so concurrent requests share one pool with no
 fragmentation or copies on admission/eviction.
 
-Kernel design: grid (batch, kv_heads, pages_per_seq). The page gather uses
-*scalar-prefetched* page indices inside the K/V BlockSpec index maps — the
-Pallas pipeline then streams exactly the pages a sequence owns, double
-buffered, with no manual DMA. Online softmax runs over pages; all query
-heads of one KV head (GQA group) are processed together so the MXU matmul
-is (group, d) x (d, page).
+Page layout is HEAD-PACKED: (total_pages, page_size, kv_heads * head_dim),
+heads riding the lane dimension. One page is one contiguous HBM region
+covering ALL heads, so a page moves with a single DMA (the per-head layout
+needed hkv separate 32KB copies per page — DMA-issue overhead capped the
+pipeline at ~150 GB/s), and each head's K/V is a free LANE slice in VMEM,
+the same packing trick as onepass_attention. The layout also makes the
+decode-step cache write one contiguous (hkv*d,) row per token.
+
+Two kernels: a BlockSpec variant (grid (b, hkv, pages); scalar-prefetched
+page ids inside the K/V index maps, pipeline-managed double buffering) and
+the production DMA variant (flat grid over (b, blocks); explicit async
+copies of whole multi-head pages, prefetch crossing cell boundaries;
+online softmax per head over lane slices).
 """
 
 from __future__ import annotations
@@ -51,7 +58,7 @@ def _paged_kernel(
     @pl.when(pi * page_size < length)
     def _compute():
         q = q_ref[0, 0]                          # (group, d)
-        k = k_page_ref[0, 0]                     # (page, d)
+        k = k_page_ref[0]                        # (page, d) lane-block h
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # (group, page)
@@ -73,7 +80,7 @@ def _paged_kernel(
         p = jnp.exp(s - m_new)
         l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v_page_ref.dtype), v_page_ref[0, 0],
+            p.astype(v_page_ref.dtype), v_page_ref[0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -88,7 +95,7 @@ def _paged_kernel(
 
 def paged_attention(
     q: jax.Array,            # (b, h, d) one decode token per sequence
-    k_pages: jax.Array,      # (hkv, total_pages, page_size, d)
+    k_pages: jax.Array,      # (total_pages, page_size, hkv*d) head-packed
     v_pages: jax.Array,
     lengths: jax.Array,      # (b,) int32 valid tokens per sequence
     page_tables: jax.Array,  # (b, pages_per_seq) int32 physical page ids
@@ -98,7 +105,8 @@ def paged_attention(
 ) -> jax.Array:
     """Decode-step attention over a paged KV cache. Returns (b, h, d)."""
     b, h, d = q.shape
-    hkv, total_pages, page_size, _ = k_pages.shape
+    total_pages, page_size, packed = k_pages.shape
+    hkv = packed // d
     assert h % hkv == 0
     group = h // hkv
     pages_per_seq = page_tables.shape[1]
@@ -116,12 +124,12 @@ def paged_attention(
         in_specs=[
             pl.BlockSpec((1, 1, group, d),
                          lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, page_size, d),
+            pl.BlockSpec((1, page_size, d),
                          lambda b_, h_, p_, lens, tables, sl:
-                         (h_, tables[b_, p_], 0, 0)),
-            pl.BlockSpec((1, 1, page_size, d),
+                         (tables[b_, p_], 0, h_)),
+            pl.BlockSpec((1, page_size, d),
                          lambda b_, h_, p_, lens, tables, sl:
-                         (h_, tables[b_, p_], 0, 0)),
+                         (tables[b_, p_], 0, h_)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, group, d),
@@ -148,17 +156,18 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_tables,
                               *, alibi_slopes=None, scale=None):
     """XLA reference (gather pages then dense attention) for tests/CPU."""
     b, h, d = q.shape
-    hkv, _, page_size, _ = k_pages.shape
+    _, page_size, packed = k_pages.shape
+    hkv = packed // d
     group = h // hkv
     pages_per_seq = page_tables.shape[1]
     max_len = pages_per_seq * page_size
     scale = scale if scale is not None else d ** -0.5
 
     # gather: (b, hkv, max_len, d)
-    k_seq = k_pages[:, page_tables]            # (hkv, b, pages, page, d)
-    v_seq = v_pages[:, page_tables]
-    k_seq = k_seq.transpose(1, 0, 2, 3, 4).reshape(b, hkv, max_len, d)
-    v_seq = v_seq.transpose(1, 0, 2, 3, 4).reshape(b, hkv, max_len, d)
+    k_seq = k_pages[page_tables]               # (b, pages, page, hkv*d)
+    v_seq = v_pages[page_tables]
+    k_seq = k_seq.reshape(b, max_len, hkv, d).transpose(0, 2, 1, 3)
+    v_seq = v_seq.reshape(b, max_len, hkv, d).transpose(0, 2, 1, 3)
 
     qg = q.reshape(b, hkv, group, d).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhkd->bhgk", qg,
@@ -177,49 +186,46 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_tables,
 
 # ---------------------------------------------------------------------------
 # multi-page DMA variant: pages stay in HBM; the kernel double-buffers
-# chunks of pages with explicit async copies. The grid is FLAT over
-# (b * hkv * blocks) so the prefetch of step t+1 is issued while step t
-# computes even across (batch, head) cell boundaries — a (b, hkv) grid
-# restarts its pipeline per cell and stalls on the first block's DMA
-# every time (with 2048-token sequences that bubble is ~half the runtime,
-# the 81->120 GB/s plateau of the first two kernel generations).
+# blocks of HEAD-PACKED pages with explicit async copies. One DMA moves a
+# page for ALL kv heads (the per-head layout needed hkv separate copies,
+# and DMA-issue overhead capped it at ~150 GB/s). The grid is FLAT over
+# (b * blocks) with the prefetch of step t+1 issued while step t computes,
+# across batch boundaries. Per-head compute reads free lane slices of the
+# (tokens, hkv*d) reshape — no relayout.
 # ---------------------------------------------------------------------------
 
 def _paged_dma_kernel(
     lengths_ref, page_tables_ref,            # scalar prefetch (SMEM)
-    q_ref, k_hbm_ref, v_hbm_ref,             # q in VMEM; pages in HBM/ANY
+    qbd_ref, k_hbm_ref, v_hbm_ref,           # q block-diag; pages HBM/ANY
     out_ref,
     k_buf, v_buf, sems, m_scr, l_scr, acc_scr,
     *, scale: float, page_size: int, pages_per_block: int,
-    max_blocks: int, hkv: int,
+    max_blocks: int, hkv: int, group: int, d: int,
 ):
     t = pl.program_id(0)
     total = pl.num_programs(0)
+    h = hkv * group
     block_tokens = page_size * pages_per_block
 
     def unflatten(tt):
-        blk = jax.lax.rem(tt, max_blocks)
-        cell = tt // max_blocks
-        return cell // hkv, jax.lax.rem(cell, hkv), blk
+        return tt // max_blocks, jax.lax.rem(tt, max_blocks)
 
     def active(tt):
-        b_t, _, blk_t = unflatten(tt)
+        b_t, blk_t = unflatten(tt)
         return blk_t * block_tokens < lengths_ref[b_t]
 
     def copies(tt, slot):
-        b_t, hk_t, blk_t = unflatten(tt)
+        b_t, blk_t = unflatten(tt)
         out = []
         for j in range(pages_per_block):
             page = page_tables_ref[b_t, blk_t * pages_per_block + j]
             out.append(pltpu.make_async_copy(
-                k_hbm_ref.at[hk_t, page], k_buf.at[slot, j],
-                sems.at[0, slot, j]))
+                k_hbm_ref.at[page], k_buf.at[slot, j], sems.at[0, slot, j]))
             out.append(pltpu.make_async_copy(
-                v_hbm_ref.at[hk_t, page], v_buf.at[slot, j],
-                sems.at[1, slot, j]))
+                v_hbm_ref.at[page], v_buf.at[slot, j], sems.at[1, slot, j]))
         return out
 
-    b, hk, blk = unflatten(t)
+    b, blk = unflatten(t)
     length = lengths_ref[b]
     slot = jax.lax.rem(t, 2)
 
@@ -247,11 +253,18 @@ def _paged_dma_kernel(
     def _compute():
         for c in copies(t, slot):
             c.wait()
-        q = q_ref[0, 0]                               # (group, d)
-        k = k_buf[slot].reshape(block_tokens, -1)
+        # (ppb, page, hkv*d) -> (tokens, hkv*d): leading-dim merge, free
+        k = k_buf[slot].reshape(block_tokens, hkv * d)
+        v = v_buf[slot].reshape(block_tokens, hkv * d)
+
+        # ALL heads in one MXU matmul: qbd is block-diagonal (h, hkv*d)
+        # (query row qh is nonzero only in its kv head's lane block), so
+        # qbd @ k^T computes every head's scores in a single (h, tokens)
+        # tile — one op chain instead of hkv tiny ones (the per-head loop
+        # version spent ~20us/block on op-issue overhead alone).
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            qbd_ref[0], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (h, tokens)
         k_pos = blk * block_tokens + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
         s = jnp.where(k_pos < length, s, NEG_INF)
@@ -262,7 +275,9 @@ def _paged_dma_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_buf[slot].reshape(block_tokens, -1)
+        # full P @ V: row qh's OWN kv block lands at lanes
+        # [kv(qh)*d : kv(qh)*d+d]; other lanes hold cross-head garbage the
+        # finalize discards. Still one matmul, still DMA-bound overall.
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -278,86 +293,118 @@ def _paged_dma_kernel(
     def _finalize():
         l = l_scr[:, :1]
         l = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0, 0] = (acc_scr[:] / l).astype(out_ref.dtype)
+        acc = acc_scr[:] / l
+        for qh in range(h):                      # static diag-block copies
+            sl = slice((qh // group) * d, (qh // group) * d + d)
+            out_ref[0, qh, :] = acc[qh, sl].astype(out_ref.dtype)
+
+
+# VMEM budget for the two double-buffered page blocks (k+v), leaving
+# headroom for q/out pipeline buffers and f32 score tiles
+_DMA_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def paged_attention_dma(
     q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     lengths: jax.Array, page_tables: jax.Array, *,
-    pages_per_block: int = 8, scale: Optional[float] = None,
+    pages_per_block: Optional[int] = None, scale: Optional[float] = None,
 ) -> jax.Array:
     """Multi-page double-buffered paged attention (no ALiBi variant yet).
 
     Requires lengths >= 1 for every row (true for decode: the prefilled
     prompt is at least one token)."""
     b, h, d = q.shape
-    hkv, total_pages, page_size, _ = k_pages.shape
+    total_pages, page_size, packed = k_pages.shape
+    hkv = packed // d
     group = h // hkv
     pages_per_seq = page_tables.shape[1]
+    # cap the block so the 2x2 double buffers fit the budget, then snap
+    # down to a divisor of pages_per_seq
+    page_bytes = page_size * packed * k_pages.dtype.itemsize
+    cap = max(1, _DMA_VMEM_BUDGET // (4 * page_bytes))
+    pages_per_block = cap if pages_per_block is None else min(
+        pages_per_block, cap)
     while pages_per_seq % pages_per_block:
-        pages_per_block //= 2
+        pages_per_block -= 1
     pages_per_block = max(pages_per_block, 1)
     max_blocks = pages_per_seq // pages_per_block
     scale = scale if scale is not None else d ** -0.5
-    qg = q.reshape(b, hkv, group, d)
+
+    # block-diagonal q (b, h, hkv*d): row qh carries q_qh in its kv head's
+    # lane block, zeros elsewhere — lets the kernel compute every head's
+    # scores with ONE matmul (see _paged_dma_kernel)
+    h = hkv * group
+    lane_head = jnp.arange(packed) // d                    # (hkv*d,)
+    row_head = jnp.arange(h) // group                      # (h,)
+    diag = (lane_head[None, :] == row_head[:, None])
+    qbd = jnp.where(diag[None], jnp.tile(q, (1, 1, hkv)), 0).astype(q.dtype)
 
     def cell_map(t, lens, tables):
-        cell = t // max_blocks
-        return cell // hkv, jax.lax.rem(cell, hkv), 0, 0
+        return t // max_blocks, 0, 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b * hkv * max_blocks,),
+        grid=(b * max_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, group, d), cell_map),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # k pages stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # v pages stay in HBM
+            pl.BlockSpec((1, h, packed), cell_map),
+            pl.BlockSpec(memory_space=pl.ANY),   # k pages stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # v pages stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, group, d), cell_map),
+        out_specs=pl.BlockSpec((1, h, d), cell_map),
         scratch_shapes=[
-            pltpu.VMEM((2, pages_per_block, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, pages_per_block, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, packed),
+                       k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, packed),
+                       v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2, pages_per_block)),
-            pltpu.VMEM((group, _LANES), jnp.float32),
-            pltpu.VMEM((group, _LANES), jnp.float32),
-            pltpu.VMEM((group, d), jnp.float32),
+            pltpu.VMEM((h, _LANES), jnp.float32),
+            pltpu.VMEM((h, _LANES), jnp.float32),
+            pltpu.VMEM((h, packed), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
             _paged_dma_kernel, scale=scale, page_size=page_size,
             pages_per_block=pages_per_block, max_blocks=max_blocks,
-            hkv=hkv),
+            hkv=hkv, group=group, d=d),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
-      qg, k_pages, v_pages)
-    return out.reshape(b, h, d)
+      qbd, k_pages, v_pages)
+    return out
 
 
 # ---------------------------------------------------------------------------
 # int8-quantized pages (halves the page-load bandwidth; guide §13 pattern)
 # ---------------------------------------------------------------------------
 
-def quantize_pages(pages: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(hkv, P, page, d) float -> (int8 values, scales (hkv, P, page, 1)).
+def quantize_pages(pages: jax.Array, head_dim: int
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """(P, page, hkv*d) float -> (int8 values same shape,
+    scales (P, page, hkv)).
 
-    Per-token-row absmax scaling: each cached token's d-vector gets one
-    scale, so dequantization is a broadcast multiply.
+    Per-(token, head) absmax scaling: each cached token's d-vector per kv
+    head gets one scale, so dequantization is a broadcast multiply.
     """
-    absmax = jnp.max(jnp.abs(pages.astype(jnp.float32)), axis=-1,
-                     keepdims=True)
+    p_, page, packed = pages.shape
+    hkv = packed // head_dim
+    split = pages.astype(jnp.float32).reshape(p_, page, hkv, head_dim)
+    absmax = jnp.max(jnp.abs(split), axis=-1, keepdims=True)
     scales = jnp.maximum(absmax / 127.0, 1e-8)
-    values = jnp.clip(jnp.round(pages.astype(jnp.float32) / scales),
-                      -127, 127).astype(jnp.int8)
-    return values, scales.astype(jnp.float32)
+    values = jnp.clip(jnp.round(split / scales), -127, 127) \
+        .astype(jnp.int8).reshape(p_, page, packed)
+    return values, scales[..., 0].astype(jnp.float32)
 
 
 def dequantize_pages(values: jax.Array, scales: jax.Array,
                      dtype=jnp.bfloat16) -> jax.Array:
-    return (values.astype(jnp.float32) * scales).astype(dtype)
+    p_, page, packed = values.shape
+    hkv = scales.shape[-1]
+    split = values.astype(jnp.float32).reshape(p_, page, hkv, -1)
+    return (split * scales[..., None]).astype(dtype).reshape(
+        p_, page, packed)
 
 
 def _paged_q8_kernel(
@@ -365,7 +412,8 @@ def _paged_q8_kernel(
     q_ref, k_page_ref, k_scale_ref, v_page_ref, v_scale_ref,
     out_ref,
     m_scr, l_scr, acc_scr,
-    *, scale: float, page_size: int, group: int, use_alibi: bool,
+    *, scale: float, page_size: int, group: int, hkv: int,
+    use_alibi: bool,
 ):
     b = pl.program_id(0)
     hk = pl.program_id(1)
@@ -379,12 +427,20 @@ def _paged_q8_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    def scale_col(scale_ref):
+        # scales block is (page, hkv) for ALL heads; a dynamic lane slice
+        # does not lower, so select column hk with a one-hot reduce
+        sc = scale_ref[0]                              # (page, hkv)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (1, hkv), 1)
+              == hk).astype(sc.dtype)
+        return jnp.sum(sc * oh, axis=1, keepdims=True)  # (page, 1)
+
     @pl.when(pi * page_size < length)
     def _compute():
         q = q_ref[0, 0]
         # dequantize in VMEM: int8 payload rode the DMA, not floats
-        k = (k_page_ref[0, 0].astype(jnp.float32)
-             * k_scale_ref[0, 0]).astype(q.dtype)
+        k = (k_page_ref[0].astype(jnp.float32)
+             * scale_col(k_scale_ref)).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -404,8 +460,8 @@ def _paged_q8_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        v = (v_page_ref[0, 0].astype(jnp.float32)
-             * v_scale_ref[0, 0]).astype(q.dtype)
+        v = (v_page_ref[0].astype(jnp.float32)
+             * scale_col(v_scale_ref)).astype(q.dtype)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -427,9 +483,13 @@ def paged_attention_quantized(
     alibi_slopes: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """Decode attention over int8 pages + per-token scales (b, h, d) out."""
+    """Decode attention over int8 pages + per-(token, head) scales.
+
+    k_values/v_values: (P, page, hkv*d) int8; k_scales/v_scales:
+    (P, page, hkv) f32. Returns (b, h, d)."""
     b, h, d = q.shape
-    hkv, total_pages, page_size, _ = k_values.shape
+    total_pages, page_size, packed = k_values.shape
+    hkv = packed // d
     group = h // hkv
     pages_per_seq = page_tables.shape[1]
     scale = scale if scale is not None else d ** -0.5
@@ -439,11 +499,11 @@ def paged_attention_quantized(
 
     qg = q.reshape(b, hkv, group, d)
     page_block = pl.BlockSpec(
-        (1, 1, page_size, d),
-        lambda b_, h_, p_, lens, tables, sl: (h_, tables[b_, p_], 0, 0))
+        (1, page_size, d),
+        lambda b_, h_, p_, lens, tables, sl: (tables[b_, p_], 0, h_))
     scale_block = pl.BlockSpec(
-        (1, 1, page_size, 1),
-        lambda b_, h_, p_, lens, tables, sl: (h_, tables[b_, p_], 0, 0))
+        (1, page_size, hkv),
+        lambda b_, h_, p_, lens, tables, sl: (tables[b_, p_], 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, hkv, pages_per_seq),
@@ -463,7 +523,7 @@ def paged_attention_quantized(
     )
     out = pl.pallas_call(
         functools.partial(_paged_q8_kernel, scale=scale, page_size=page_size,
-                          group=group, use_alibi=use_alibi),
+                          group=group, hkv=hkv, use_alibi=use_alibi),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -530,19 +590,22 @@ def write_token_to_pages(k_pages, v_pages, k_new, v_new, *, positions,
     """Scatter one decode step's K/V into the paged cache.
 
     k_new/v_new: (b, hkv, d); positions: (b,) token index per sequence;
-    page_tables: (b, pages_per_seq). Returns updated (k_pages, v_pages).
+    page_tables: (b, pages_per_seq). With the head-packed layout each
+    token is ONE contiguous (hkv*d,) row write. Returns updated
+    (k_pages, v_pages).
     """
-    page_size = k_pages.shape[2]
+    page_size = k_pages.shape[1]
     logical_page = positions // page_size
     offset = positions % page_size
     phys = jnp.take_along_axis(page_tables, logical_page[:, None],
                                axis=1)[:, 0]
 
     def write(pages, new):
-        # pages: (hkv, P, page, d); new: (b, hkv, d)
+        # pages: (P, page, hkv*d); new: (b, hkv, d)
+        flat = new.reshape(new.shape[0], -1)
         def body(i, pages):
-            return pages.at[:, phys[i], offset[i], :].set(
-                new[i].astype(pages.dtype))
+            return pages.at[phys[i], offset[i], :].set(
+                flat[i].astype(pages.dtype))
         return jax.lax.fori_loop(0, new.shape[0], body, pages)
 
     return write(k_pages, k_new), write(v_pages, v_new)

@@ -76,7 +76,7 @@ class ServingEngine:
                                    dtype=cache_dtype, layout="paged",
                                    page_size=page_size)
         self.pages_per_slot = self.cache["page_tables"].shape[1]
-        total_pages = self.cache["layers"][0]["k_pages"].shape[1]
+        total_pages = self.cache["layers"][0]["k_pages"].shape[0]
         self.pool = PagePool(total_pages, page_size, self.pages_per_slot)
         self.pool.allocate(_TRASH, 1)   # pins physical page 0
         # host mirror of the device page tables; rows of zeros alias the
@@ -110,9 +110,10 @@ class ServingEngine:
             """Scatter one prefilled sequence's pages into pool pages.
 
             ``phys``: (n_small_pages,) physical page ids from the pool —
-            arbitrary, not contiguous."""
+            arbitrary, not contiguous. Pages are head-packed
+            (P, page, hkv*d), so each page is one contiguous row block."""
             def put(big, small):
-                return big.at[:, phys].set(small.astype(big.dtype))
+                return big.at[phys].set(small.astype(big.dtype))
 
             new_layers = tuple(
                 {"k_pages": put(bl["k_pages"], sl["k_pages"]),

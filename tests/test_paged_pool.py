@@ -1,4 +1,6 @@
-"""Page allocator + paged cache writer (host-side, CPU)."""
+"""Page allocator + paged cache writer (host-side, CPU).
+
+Pages are head-packed: (total_pages, page_size, hkv*d)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -30,30 +32,31 @@ def test_page_pool_exhaustion():
 
 
 def test_write_token_to_pages():
-    kp = jnp.zeros((2, 4, 4, 8), jnp.float32)
+    hkv, d = 2, 8
+    kp = jnp.zeros((4, 4, hkv * d), jnp.float32)   # (P, page, hkv*d)
     vp = jnp.zeros_like(kp)
-    knew = jnp.ones((1, 2, 8))
-    vnew = 2 * jnp.ones((1, 2, 8))
+    knew = jnp.ones((1, hkv, d))
+    vnew = 2 * jnp.ones((1, hkv, d))
     tbl = jnp.asarray([[3, 1, 0, 0]], jnp.int32)
     kp1, vp1 = write_token_to_pages(kp, vp, knew, vnew,
                                     positions=jnp.asarray([5]),
                                     page_tables=tbl)
     # position 5 -> logical page 1 -> physical page 1, offset 1
-    assert float(kp1[0, 1, 1, 0]) == 1.0
-    assert float(vp1[1, 1, 1, 0]) == 2.0
-    assert float(kp1.sum()) == 2 * 8  # only one slot written per kv head
+    assert float(kp1[1, 1, 0]) == 1.0
+    assert float(vp1[1, 1, hkv * d - 1]) == 2.0
+    assert float(kp1.sum()) == hkv * d  # exactly one token row written
 
 
 def test_reference_lengths_masking():
     rng = np.random.default_rng(0)
-    b, h, d = 1, 2, 8
-    kp = jnp.asarray(rng.normal(size=(2, 4, 4, d)), jnp.float32)
-    vp = jnp.asarray(rng.normal(size=(2, 4, 4, d)), jnp.float32)
+    b, h, hkv, d = 1, 2, 2, 8
+    kp = jnp.asarray(rng.normal(size=(4, 4, hkv * d)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(4, 4, hkv * d)), jnp.float32)
     q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
     tbl = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
     # length 4 == first page only; changing later pages must not matter
     out1 = paged_attention_reference(q, kp, vp, jnp.asarray([4]), tbl)
-    kp2 = kp.at[:, 3].set(99.0)
+    kp2 = kp.at[3].set(99.0)
     out2 = paged_attention_reference(q, kp2, vp, jnp.asarray([4]), tbl)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
 
@@ -62,14 +65,15 @@ def test_quantize_dequantize_roundtrip():
     from merlin_tpu.ops.paged_attention import dequantize_pages, quantize_pages
 
     rng = np.random.default_rng(0)
-    pages = jnp.asarray(rng.normal(size=(2, 3, 4, 8)) * 5, jnp.float32)
-    values, scales = quantize_pages(pages)
-    assert values.dtype == jnp.int8
-    assert scales.shape == (2, 3, 4, 1)
+    hkv, d = 4, 8
+    pages = jnp.asarray(rng.normal(size=(2, 3, hkv * d)) * 5, jnp.float32)
+    values, scales = quantize_pages(pages, d)
+    assert values.dtype == jnp.int8 and values.shape == pages.shape
+    assert scales.shape == (2, 3, hkv)
     back = dequantize_pages(values, scales, jnp.float32)
     rel = float(jnp.linalg.norm(back - pages) / jnp.linalg.norm(pages))
     assert rel < 0.01
     # zero rows stay finite
-    z = jnp.zeros((1, 1, 2, 8))
-    vq, sq = quantize_pages(z)
+    z = jnp.zeros((1, 1, hkv * d))
+    vq, sq = quantize_pages(z, d)
     assert jnp.isfinite(dequantize_pages(vq, sq)).all()

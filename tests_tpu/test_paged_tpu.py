@@ -1,4 +1,6 @@
-"""Paged attention kernel parity on TPU hardware."""
+"""Paged attention kernel parity on TPU hardware.
+
+Pages are head-packed: (total_pages, page_size, hkv*d)."""
 
 import jax
 import jax.numpy as jnp
@@ -18,9 +20,9 @@ def test_paged_attention_matches_reference():
     page_size, total_pages, pages_per_seq = 128, 64, 8
     q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
     k_pages = jnp.asarray(
-        rng.normal(size=(hkv, total_pages, page_size, d)), jnp.float32)
+        rng.normal(size=(total_pages, page_size, hkv * d)), jnp.float32)
     v_pages = jnp.asarray(
-        rng.normal(size=(hkv, total_pages, page_size, d)), jnp.float32)
+        rng.normal(size=(total_pages, page_size, hkv * d)), jnp.float32)
     lengths = jnp.asarray([100, 512, 1, 1000], jnp.int32)
     tables = jnp.asarray(
         rng.permutation(total_pages)[: b * pages_per_seq]
@@ -39,9 +41,9 @@ def test_quantized_paged_attention_close_to_fp():
     b, h, hkv, d = 2, 8, 8, 128
     page_size, total_pages, pages_per_seq = 128, 16, 4
     q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
-    kp = jnp.asarray(rng.normal(size=(hkv, total_pages, page_size, d)),
+    kp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
                      jnp.float32)
-    vp = jnp.asarray(rng.normal(size=(hkv, total_pages, page_size, d)),
+    vp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
                      jnp.float32)
     lengths = jnp.asarray([200, 512], jnp.int32)
     tables = jnp.asarray(
@@ -49,8 +51,8 @@ def test_quantized_paged_attention_close_to_fp():
         .reshape(b, pages_per_seq), jnp.int32)
 
     ref = paged_attention(q, kp, vp, lengths, tables)
-    kq, ks = quantize_pages(kp)
-    vq, vs = quantize_pages(vp)
+    kq, ks = quantize_pages(kp, d)
+    vq, vs = quantize_pages(vp, d)
     out = paged_attention_quantized(q, kq, ks, vq, vs, lengths, tables)
     # int8 quantization error stays small relative to unit-normal values
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
@@ -66,16 +68,38 @@ def test_paged_attention_dma_matches_reference():
     page_size, total_pages, pages_per_seq = 128, 64, 8
     q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
     kp = jnp.asarray(
-        rng.normal(size=(hkv, total_pages, page_size, d)), jnp.float32)
+        rng.normal(size=(total_pages, page_size, hkv * d)), jnp.float32)
     vp = jnp.asarray(
-        rng.normal(size=(hkv, total_pages, page_size, d)), jnp.float32)
+        rng.normal(size=(total_pages, page_size, hkv * d)), jnp.float32)
     lengths = jnp.asarray([100, 512, 1, 1000], jnp.int32)
     tables = jnp.asarray(
         rng.permutation(total_pages)[: b * pages_per_seq]
         .reshape(b, pages_per_seq), jnp.int32)
     ref = paged_attention_reference(q, kp, vp, lengths, tables)
-    for ppb in (2, 4, 8):
+    for ppb in (1, 2, 4, 8):
         out = paged_attention_dma(q, kp, vp, lengths, tables,
                                   pages_per_block=ppb)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-2)
+
+
+def test_paged_attention_dma_mha_group1():
+    """MHA (group=1, the vicuna shape class) exercises single-row q slices."""
+    from merlin_tpu.ops.paged_attention import (
+        paged_attention_dma, paged_attention_reference)
+
+    rng = np.random.default_rng(2)
+    b, h, hkv, d = 2, 4, 4, 128
+    page_size, total_pages, pages_per_seq = 128, 16, 4
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    kp = jnp.asarray(
+        rng.normal(size=(total_pages, page_size, hkv * d)), jnp.float32)
+    vp = jnp.asarray(
+        rng.normal(size=(total_pages, page_size, hkv * d)), jnp.float32)
+    lengths = jnp.asarray([77, 512], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+    ref = paged_attention_reference(q, kp, vp, lengths, tables)
+    out = paged_attention_dma(q, kp, vp, lengths, tables, pages_per_block=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
