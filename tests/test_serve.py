@@ -136,3 +136,72 @@ def test_engine_backed_worker_streams(tiny_bundle):
         assert len(results) == 3
     finally:
         worker.stop()
+
+
+# --- web UI server (gradio_web_server parity features) ----------------------
+
+def test_template_for_model():
+    from merlin_tpu.serve.web import template_for_model
+
+    # gradio_web_server.py:176-200 selection rules
+    assert template_for_model("llava-llama-2-13b") == "llama_2"
+    assert template_for_model("llava-v1.5-7b") == "v1"
+    assert template_for_model("llava-v1-mmtag") == "plain"
+    assert template_for_model("llava-pretrain-plain") == "plain"
+    assert template_for_model("llava-mpt-7b") == "mpt"
+    assert template_for_model("llava-13b") == "v0"
+    assert template_for_model("mpt-30b-chat") == "mpt"
+    assert template_for_model("Llama-2-13b-chat") == "llama_2"
+    assert template_for_model("vicuna-13b") == "vicuna_v1"
+
+
+def test_web_vote_and_chat_logging(stack, tmp_path):
+    import base64
+    import glob as _glob
+    import urllib.request
+
+    from merlin_tpu.serve import web as web_mod
+
+    log_dir = str(tmp_path / "weblogs")
+    srv = web_mod.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        web_mod.make_handler(stack["ctrl"], "merlin-tpu", log_dir))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # vote endpoint writes the reference's JSONL record (:92-119)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/vote",
+            data=json.dumps({"type": "flag",
+                             "history": [["USER", "hi"]]}).encode())
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        # chat relays through controller -> worker and logs with image hash
+        from PIL import Image
+        import io
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), (9, 9, 9)).save(buf, "PNG")
+        img_b64 = base64.b64encode(buf.getvalue()).decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/chat",
+            data=json.dumps({"history": [["USER", "hello"]],
+                             "images": [img_b64],
+                             "max_new_tokens": 4}).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            raw = r.read()
+        assert b"\0" in raw  # streamed chunk protocol
+
+        logs = _glob.glob(log_dir + "/conv-*.jsonl")
+        assert logs
+        records = [json.loads(l) for l in open(logs[0])]
+        types = [r["type"] for r in records]
+        assert "flag" in types and "chat" in types
+        chat = [r for r in records if r["type"] == "chat"][0]
+        assert chat["model"] == "merlin-tpu" and len(chat["images"]) == 1
+        # the uploaded image was archived once under its md5
+        archived = _glob.glob(log_dir + "/serve_images/*/*.jpg")
+        assert len(archived) == 1
+        assert chat["images"][0] in archived[0]
+    finally:
+        srv.shutdown()
