@@ -171,8 +171,20 @@ class Generator:
         b = logits.shape[0]
         done = np.zeros((b,), bool)
         stop_ids = {cfg.eos_id, *cfg.stop_token_ids}
-        texts = [""] * b
         history: list = []
+        # keyword checks decode only a bounded TAIL window (longest keyword
+        # in tokens + slack for merge boundaries), not the whole history —
+        # full re-decode per token per sequence is O(n^2) in generated
+        # length and pathological at mmbench's 1024 max_new_tokens (the
+        # reference's KeywordsStoppingCriteria re-decodes fully too; this
+        # is strictly cheaper with identical hits for sane keywords)
+        window = 0
+        if tokenizer is not None and keywords:
+            for kw in keywords:
+                enc = tokenizer(kw, add_special_tokens=False)["input_ids"]
+                enc = enc[0] if enc and isinstance(enc[0], list) else enc
+                window = max(window, len(enc))
+            window += 8
         for i in range(cfg.max_new_tokens):
             rng, sub = jax.random.split(rng)
             tok = np.asarray(sample_token(
@@ -182,13 +194,13 @@ class Generator:
             done = done | np.isin(tok, list(stop_ids))
             history.append(tok)
             yield tok
-            if tokenizer is not None and keywords:
-                seq = np.stack(history, axis=1)
+            if window:
+                seq = np.stack(history[-window:], axis=1)
                 for j in range(b):
                     if not done[j]:
-                        texts[j] = tokenizer.decode(seq[j],
-                                                    skip_special_tokens=False)
-                        if keyword_hit(texts[j], keywords):
+                        tail = tokenizer.decode(seq[j],
+                                                skip_special_tokens=False)
+                        if keyword_hit(tail, keywords):
                             done[j] = True
             if done.all():
                 return
