@@ -287,42 +287,138 @@ def bench_train_multimodal(remat: bool = True, batch: int = 4):
     return B * S / dt, mfu
 
 
+def bench_paged_bandwidth():
+    """Effective HBM bandwidth of the paged decode kernel at the vicuna-7b
+    shape with permuted (pooled) page tables. 20 calls chained inside ONE
+    jit — a single dispatch through the remote tunnel costs ~0.35 ms, which
+    swamps sub-ms kernels. Returns GB/s."""
+    from merlin_tpu.ops.paged_attention import paged_attention_dma
+
+    b, h, d = 4, 32, 128
+    ctx, page = 2048, 128
+    pps = ctx // page
+    total = b * pps
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((total, page, h * d)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((total, page, h * d)), jnp.bfloat16)
+    tables = jnp.asarray(
+        rng.permutation(total).astype(np.int32).reshape(b, pps))
+    lengths = jnp.full((b,), ctx, jnp.int32)
+    iters = 20
+
+    @jax.jit
+    def many(q, kp, vp, l, t):
+        def body(i, carry):
+            qq, acc = carry
+            out = paged_attention_dma(qq, kp, vp, l, t)
+            return (q + out * 1e-30, acc + out.astype(jnp.float32).sum())
+        return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+    float(many(q, kp, vp, lengths, tables))
+    runs = 5
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        s = many(q, kp, vp, lengths, tables)
+    float(s)
+    dt = (time.perf_counter() - t0) / (runs * iters)
+    useful = b * ctx * h * d * 2 * 2
+    return useful / dt / 1e9
+
+
+def bench_serving_7b():
+    """Continuous-batching serving throughput on the FULL vicuna-7b config:
+    4 decode slots over one pooled paged KV cache (13.5 GB bf16 params +
+    1 GB pool on one chip). 8 requests through 4 slots; returns aggregate
+    generated tokens/s (the reference serves one request at a time per
+    worker, model_worker.py:30)."""
+    import dataclasses
+    import os
+    from merlin_tpu.models.decoder import CausalLM
+    from merlin_tpu.models.families import vicuna_7b
+    from merlin_tpu.serve.engine import ServingEngine
+
+    # 32 per-layer Pallas kernel instances cost ~6 min of AOT compile per
+    # decode signature; at 7B the step is parameter-bound and the XLA
+    # paged path costs ~1 ms/step more, so trade kernels for compile time
+    os.environ["MERLIN_PAGED_DECODE"] = "xla"
+
+    cfg = dataclasses.replace(vicuna_7b(), dtype=jnp.bfloat16)
+    model = CausalLM(cfg)
+    params = materialize_bf16_params(model, jnp.zeros((1, 8), jnp.int32))
+    jax.block_until_ready(params)
+
+    # chunk_steps=1 (no-scan decode): the chunk scan's carry would hold a
+    # second copy of the pool, which with 13.5G of params OOMs the 16G
+    # chip; the donated single-step path fits with max_len 512
+    # pipeline=8: token recording syncs in batches of ~8 steps (one ~45ms
+    # tunnel round trip per batch instead of per step)
+    eng = ServingEngine(model, params, num_slots=4, max_len=512,
+                        eos_id=-1, pad_id=0, prompt_bucket=128,
+                        page_size=128, chunk_steps=1, pipeline=8)
+    rng = np.random.default_rng(0)
+    prompt = lambda: rng.integers(10, 31000, size=120).astype(np.int32)
+    # warmup: compiles prefill bucket + decode chunk
+    eng.submit(prompt(), max_new_tokens=17)
+    eng.run_until_idle()
+
+    reqs = [eng.submit(prompt(), max_new_tokens=96) for _ in range(8)]
+    t0 = time.perf_counter()
+    eng.run_until_idle()
+    dt = time.perf_counter() - t0
+    tokens = sum(len(r.generated) for r in reqs)
+    return tokens / dt
+
+
 def main():
+    import sys
+
     details = {}
+
+    def flush():
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=1)
+
     tps, ttft_ms = bench_decode()
     details["vicuna7b_decode_tokens_per_sec_chip"] = round(tps, 2)
     details["p50_ttft_ms_prefill128"] = round(ttft_ms, 1)
-    try:
-        fps = bench_vit_encode()
-        details["vit_l14_448_encode_frames_per_sec"] = round(fps, 1)
-        details["vit_vs_2x_a100"] = round(fps / (2 * A100_REFERENCE_VIT_FPS), 3)
-    except Exception as e:  # keep the primary metric robust
-        details["vit_encode_error"] = str(e)
-    try:
-        tps_train, mfu6, util8 = bench_train_step()
-        details["train_step_tokens_per_sec_044b"] = round(tps_train)
-        details["train_mfu_6nd"] = round(mfu6, 3)
-        details["train_hw_util_8nd_remat"] = round(util8, 3)
-    except Exception as e:
-        details["train_bench_error"] = str(e)
-    try:
-        tps_mm, mfu_mm = bench_train_multimodal()
-        details["train_tokens_per_sec_multimodal"] = round(tps_mm)
-        details["train_mfu_multimodal"] = round(mfu_mm, 3)
-    except Exception as e:
-        details["train_multimodal_error"] = str(e)
-
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=1)
-    import sys
-    print(json.dumps(details), file=sys.stderr)
-
+    flush()
+    # primary line FIRST: a driver-side timeout on the later (slower to
+    # compile) sections must not lose the headline metric
     print(json.dumps({
         "metric": "vicuna7b_decode_tokens_per_sec_chip",
         "value": details["vicuna7b_decode_tokens_per_sec_chip"],
         "unit": "tokens/s",
         "vs_baseline": round(tps / A100_REFERENCE_TPS, 3),
-    }))
+    }), flush=True)
+
+    for name, fn in [
+        ("paged_bw", lambda: details.update(
+            paged_decode_effective_gbps=round(bench_paged_bandwidth()))),
+        ("vit", lambda: (lambda fps: details.update(
+            vit_l14_448_encode_frames_per_sec=round(fps, 1),
+            vit_vs_2x_a100=round(fps / (2 * A100_REFERENCE_VIT_FPS), 3)))(
+            bench_vit_encode())),
+        ("train", lambda: (lambda r: details.update(
+            train_step_tokens_per_sec_044b=round(r[0]),
+            train_mfu_6nd=round(r[1], 3),
+            train_hw_util_8nd_remat=round(r[2], 3)))(bench_train_step())),
+        ("train_multimodal", lambda: (lambda r: details.update(
+            train_tokens_per_sec_multimodal=round(r[0]),
+            train_mfu_multimodal=round(r[1], 3)))(bench_train_multimodal())),
+        # LAST: its 32-layer paged decode chunk is the slowest compile
+        # (~10+ min through the AOT helper); a driver timeout here must
+        # not starve the sections above
+        ("serving", lambda: details.update(
+            vicuna7b_serving_tokens_per_sec_4slots=round(
+                bench_serving_7b(), 1))),
+    ]:
+        try:
+            fn()
+        except Exception as e:  # keep later sections robust
+            details[name + "_error"] = str(e)
+        flush()
+    print(json.dumps(details), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ prompts decode correctly with a single shared write index.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -186,9 +187,17 @@ class Attention(nn.Module):
                 kp, vp = write_token_to_pages(
                     kp, vp, k[:, 0], v[:, 0], positions=lengths,
                     page_tables=tables)
-                if jax.default_backend() == "tpu":
+                # MERLIN_PAGED_DECODE=xla routes through the gather+dense
+                # reference: each Pallas kernel instance costs ~12s in the
+                # AOT compile helper (no content dedup), so a 32-layer
+                # model pays ~6 min per decode signature on the kernel
+                # path. At 7B the step is parameter-read-bound (~23 ms)
+                # and the attention impl changes it by ~1 ms — the XLA
+                # path trades that for ~30x faster compiles. Default
+                # stays on the kernels (fastest steady state).
+                impl = os.environ.get("MERLIN_PAGED_DECODE", "pallas")
+                if jax.default_backend() == "tpu" and impl == "pallas":
                     if slopes is None:
-                        # multi-page DMA variant: 1.5x the blockspec kernel
                         from merlin_tpu.ops.paged_attention import (
                             paged_attention_dma)
 

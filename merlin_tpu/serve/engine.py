@@ -49,6 +49,9 @@ class Request:
     # filled by the engine
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # tokens of `generated` already folded into input_ids by a previous
+    # preemption (a twice-preempted request must not duplicate them)
+    baked_generated: int = 0
 
 
 class ServingEngine:
@@ -59,8 +62,20 @@ class ServingEngine:
                  max_len: int = 2048, eos_id: int = 2, pad_id: int = 0,
                  prompt_bucket: int = 128, page_size: int = 128,
                  cache_dtype=jnp.bfloat16, rng_seed: int = 0,
-                 chunk_steps: int = 8):
+                 chunk_steps: int = 8, pipeline: int = 1):
         self.chunk_steps = max(int(chunk_steps), 1)
+        # in-flight chunks whose tokens are synced one step late: reading
+        # a chunk's result pays compute + the full host<->device round
+        # trip (~27 ms through the remote tunnel — measured to DOUBLE a
+        # 7B decode step), so the next chunk is dispatched first and the
+        # device stays busy during the sync. Token recording (and thus
+        # EOS detection) lags by `pipeline` chunks; a finishing request
+        # wastes at most pipeline*chunk_steps decode tokens. A stale
+        # write to a freed page is safe: any page re-allocated to another
+        # sequence has every position overwritten before that sequence's
+        # length (the read gate) passes it.
+        self.pipeline = max(int(pipeline), 0)
+        self._inflight: "collections.deque" = collections.deque()
         self.model = model
         self.params = params
         self.num_slots = num_slots
@@ -82,6 +97,7 @@ class ServingEngine:
         # host mirror of the device page tables; rows of zeros alias the
         # trash page (inactive slots write there, never read)
         self._tables = np.zeros((num_slots, self.pages_per_slot), np.int32)
+        self._tables_dirty = False
         self.cache["page_tables"] = jnp.asarray(self._tables)
 
         self.slots: List[Optional[Request]] = [None] * num_slots
@@ -91,6 +107,11 @@ class ServingEngine:
         self._lock = threading.Lock()
         self._slot_tokens = np.zeros(self.num_slots, np.int32)
         self._slot_len = np.zeros(self.num_slots, np.int64)
+        # device-side mirrors, invalidated on admission (upload caching)
+        self._tokens_dev = None
+        self._active_np = None
+        self._active_dev = None
+        self._temps_dev = None
 
         # --- jitted pieces --------------------------------------------
         def prefill(params, ids, mask, small_cache):
@@ -213,6 +234,7 @@ class ServingEngine:
                 self.cache["lengths"], length)
             self._tables[slot] = 0
             self._tables[slot, :len(table)] = table
+            self._tables_dirty = True
             # first token comes straight from the prefill logits
             tok = int(jnp.argmax(next_logits[0])) if req.temperature <= 1e-4 \
                 else int(jax.random.categorical(
@@ -221,17 +243,26 @@ class ServingEngine:
             self.slots[slot] = req
             self._slot_tokens[slot] = tok
             self._slot_len[slot] = int(length[0])
+            # update the device token mirror FUNCTIONALLY: under
+            # pipelining the host np copy lags the latest dispatch, so
+            # rebuilding from it would rewind other slots' tokens
+            if self._tokens_dev is None:
+                self._tokens_dev = jnp.asarray(self._slot_tokens)
+            else:
+                self._tokens_dev = self._tokens_dev.at[slot].set(tok)
+            self._active_np = None
             self._record(slot, tok)
 
     def _record(self, slot: int, token: int):
         req = self.slots[slot]
         req.generated.append(int(token))
         self._slot_len[slot] += 1
-        # chunk_steps safety margin: the cache may run ahead of the
-        # recorded tokens by up to one chunk before the slot frees
+        # safety margin: the cache may run ahead of the recorded tokens
+        # by up to (1 + pipeline) chunks before the slot frees
+        margin = self.chunk_steps * (1 + self.pipeline) + 1
         done = (token == self.eos_id
                 or len(req.generated) >= req.max_new_tokens
-                or self._slot_len[slot] + self.chunk_steps + 1 >= self.max_len)
+                or self._slot_len[slot] + margin >= self.max_len)
         if req.emit:
             req.emit(int(token), done)
         if done:
@@ -239,6 +270,7 @@ class ServingEngine:
             self.slots[slot] = None
             self.pool.release(req.req_id)
             self._tables[slot] = 0
+            self._tables_dirty = True
 
     # ------------------------------------------------------------------
     def _preempt_youngest(self, exclude: int) -> bool:
@@ -254,38 +286,92 @@ class ServingEngine:
         self.pool.release(req.req_id)
         self.slots[slot] = None
         self._tables[slot] = 0
+        self._tables_dirty = True
+        fresh = req.generated[req.baked_generated:]
         req.input_ids = np.concatenate(
-            [req.input_ids, np.asarray(req.generated, np.int32)])
+            [req.input_ids, np.asarray(fresh, np.int32)])
+        req.baked_generated = len(req.generated)
         self._requeue_front(req)
         return True
 
     def _grow_pages(self):
         """Before each chunk, make sure every active slot owns pages for
-        the tokens the chunk will write; push the table rows to device."""
+        the tokens the chunk will write; push the table rows to device
+        only when a row changed (a host->device upload through a remote
+        tunnel costs milliseconds — most chunks grow nothing)."""
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            need = min(int(self._slot_len[slot]) + self.chunk_steps + 1,
+            need = min(int(self._slot_len[slot])
+                       + self.chunk_steps * (1 + self.pipeline) + 1,
                        self.pages_per_slot * self.page_size)
+            drained = False
             while True:
                 try:
                     table = self.pool.allocate(req.req_id, need)
                     break
                 except MemoryError:
+                    if not drained:
+                        # settle all in-flight chunks first: finished
+                        # requests release pages, and preempting with a
+                        # chunk in flight would fork a victim's history
+                        # (its requeued prompt must contain exactly the
+                        # recorded tokens)
+                        self._drain(force=True)
+                        drained = True
+                        if self.slots[slot] is not req:
+                            break  # this very request just finished
+                        continue
                     if not self._preempt_youngest(exclude=slot):
                         raise MemoryError(
                             "page pool exhausted by a single sequence")
-            self._tables[slot] = 0
-            self._tables[slot, :len(table)] = table
-        self.cache["page_tables"] = jnp.asarray(self._tables)
+            if self.slots[slot] is not req:
+                continue
+            new_row = np.zeros(self.pages_per_slot, np.int32)
+            new_row[:len(table)] = table
+            if not np.array_equal(new_row, self._tables[slot]):
+                self._tables[slot] = new_row
+                self._tables_dirty = True
+        if self._tables_dirty:
+            self.cache["page_tables"] = jnp.asarray(self._tables)
+            self._tables_dirty = False
 
     # ------------------------------------------------------------------
+    def _drain(self, force: bool = False):
+        """Sync + record in-flight chunks beyond the pipeline depth (all
+        of them when ``force``). All poppable chunks are stacked on device
+        and fetched in ONE transfer — each host<->device round trip costs
+        ~45 ms through the remote tunnel, so per-chunk fetches would cap
+        throughput at 1/RTT regardless of pipeline depth. Each chunk is
+        recorded against the REQUESTS captured at its dispatch: if a slot
+        was freed and re-admitted while the chunk was in flight, the
+        stale tokens must not leak into the new occupant."""
+        if not force and len(self._inflight) <= self.pipeline:
+            return
+        keep = 0 if force else 1   # keep one in flight to cover the sync
+        batch = []
+        while len(self._inflight) > keep:
+            batch.append(self._inflight.popleft())
+        if not batch:
+            return
+        stacked = np.asarray(jnp.stack([dev for dev, _ in batch]))
+        for chunk, (_, reqs) in zip(stacked, batch):
+            for slot in range(self.num_slots):
+                if reqs[slot] is None or self.slots[slot] is not reqs[slot]:
+                    continue
+                for tok in chunk[slot]:
+                    self._record(slot, tok)
+                    if self.slots[slot] is None:
+                        break  # finished mid-chunk; rest is void
+
     def step(self) -> int:
         """Admit waiting requests, decode `chunk_steps` tokens for all
-        active slots in one jitted call (one host round-trip per chunk).
+        active slots in one jitted call, and record results `pipeline`
+        chunks behind the dispatch (latency hiding — see __init__).
         Returns the number of active slots processed."""
         self._admit()
         if not any(r is not None for r in self.slots):
+            self._drain(force=True)
             return 0
         # grow BEFORE taking the active mask: growth may preempt a slot,
         # and a preempted slot must not be decoded or recorded this chunk
@@ -296,26 +382,43 @@ class ServingEngine:
             return 0
         temps = np.asarray(
             [r.temperature if r else 0.0 for r in self.slots], np.float32)
+        # every host->device upload through a remote tunnel costs
+        # milliseconds: re-upload tokens/active/temps only when they
+        # changed (admissions/finishes), and feed the previous step's
+        # DEVICE token array straight back between quiet steps
+        if self._tokens_dev is None:
+            self._tokens_dev = jnp.asarray(self._slot_tokens)
+        if self._active_np is None or \
+                not np.array_equal(active_mask, self._active_np):
+            self._active_np = active_mask
+            self._active_dev = jnp.asarray(active_mask)
+            self._temps_dev = jnp.asarray(temps)
         self._rng, sub = jax.random.split(self._rng)
-        chunk, last, self.cache = self._decode_chunk(
-            self.params, jnp.asarray(self._slot_tokens),
-            self.cache, jnp.asarray(active_mask), sub, jnp.asarray(temps))
-        chunk = np.asarray(chunk)          # (slots, chunk_steps)
-        self._slot_tokens = np.array(last)
-        for slot in range(self.num_slots):
-            if not active_mask[slot]:
-                continue
-            for tok in chunk[slot]:
-                self._record(slot, tok)
-                if self.slots[slot] is None:
-                    break  # finished mid-chunk; rest of the chunk is void
+        if self.chunk_steps == 1:
+            # no-scan path: the chunk scan's carry holds a SECOND copy of
+            # the whole paged pool during compile; single-step decode with
+            # donated cache avoids it (what lets full-7B serving fit a
+            # 16GB chip). Per-step dispatch (~0.35 ms) is noise against a
+            # 7B step (~23 ms); small models should keep chunk_steps > 1.
+            last, self.cache = self._decode(
+                self.params, self._tokens_dev,
+                self.cache, self._active_dev, sub, self._temps_dev)
+            chunk_dev = last[:, None]
+        else:
+            chunk_dev, last, self.cache = self._decode_chunk(
+                self.params, self._tokens_dev,
+                self.cache, self._active_dev, sub, self._temps_dev)
+        self._tokens_dev = last
+        self._inflight.append((chunk_dev, list(self.slots)))
+        self._drain()
         return int(active_mask.sum())
 
     def run_until_idle(self, max_steps: int = 100000):
         while True:
             with self._lock:
                 queued = bool(self._queue)
-            if not queued and all(r is None for r in self.slots):
+            if not queued and all(r is None for r in self.slots) \
+                    and not self._inflight:
                 return
             self.step()
             max_steps -= 1

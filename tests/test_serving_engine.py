@@ -39,11 +39,15 @@ def _reference(model, params, prompt, max_new):
     return trimmed
 
 
-def test_engine_matches_generator(model_params):
+@pytest.mark.parametrize("chunk_steps", [8, 1])
+def test_engine_matches_generator(model_params, chunk_steps):
+    """chunk_steps=1 exercises the no-scan decode path (donated cache, no
+    scan-carry pool copy — how full-7B serving fits one chip)."""
     model, params = model_params
     engine = ServingEngine(model, params, num_slots=2, max_len=64,
                            eos_id=EOS, pad_id=PAD, prompt_bucket=16,
-                           page_size=16, cache_dtype=jnp.float32)
+                           page_size=16, cache_dtype=jnp.float32,
+                           chunk_steps=chunk_steps)
     prompts = [[5, 17, 33, 41], [7, 9, 11], [21, 22], [3, 4, 5, 6, 8]]
     reqs = [engine.submit(p, max_new_tokens=6) for p in prompts]
     engine.run_until_idle()
