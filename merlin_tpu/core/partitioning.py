@@ -31,6 +31,7 @@ DEFAULT_LOGICAL_AXIS_RULES: Tuple[Tuple[str, Any], ...] = (
     ("mlp", "tensor"),          # MLP hidden: TP shard
     ("vocab", "tensor"),        # embedding/lm_head vocab dim: TP shard
     ("norm", None),
+    ("layers", None),           # scan_layers stacked-layer dim: replicated
     # vision tower
     ("vit_embed", "fsdp"),
     ("vit_mlp", "tensor"),

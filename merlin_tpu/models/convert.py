@@ -66,6 +66,34 @@ def extract_by_prefix(state_dict: Mapping[str, Any], prefix: str) -> Dict[str, A
             if k.startswith(prefix)}
 
 
+def stack_layer_params(params: Dict[str, Any], num_layers: int
+                       ) -> Dict[str, Any]:
+    """Loop-decoder param tree (layers_{i} subtrees) -> scan_layers tree
+    (one 'layers/block' subtree with a stacked leading axis). Inverse of
+    :func:`unstack_layer_params`."""
+    import jax
+
+    p = dict(params)
+    layers = [p.pop(f"layers_{i}") for i in range(num_layers)]
+    p["layers"] = {"block": jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers)}
+    return p
+
+
+def unstack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """scan_layers param tree -> loop-decoder tree (for serving/decode,
+    which keeps the per-layer KV-cache structure)."""
+    import jax
+
+    p = dict(params)
+    stacked = p.pop("layers")["block"]
+    num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(num_layers):
+        p[f"layers_{i}"] = jax.tree.map(
+            lambda x, i=i: np.asarray(x)[i], stacked)
+    return p
+
+
 def _qkv_kernel(w: np.ndarray, heads: int, head_dim: int) -> np.ndarray:
     """HF (out=h*d, in) -> (in, h, d)."""
     out_dim, in_dim = w.shape

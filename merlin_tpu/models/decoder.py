@@ -76,6 +76,7 @@ class DecoderConfig:
 
     dtype: Any = jnp.bfloat16
     remat: bool = False                    # gradient checkpoint each layer
+    scan_layers: bool = False              # nn.scan the layer stack (train)
 
     @property
     def kv_heads(self) -> int:
@@ -305,6 +306,19 @@ class DecoderBlock(nn.Module):
         return x, new_cache, new_aux
 
 
+class _BlockForScan(nn.Module):
+    """DecoderBlock adapted to nn.scan's (carry, ...) -> (carry, out)
+    calling convention (train/prefill-free path: no per-layer cache)."""
+
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, positions, segment_ids):
+        x, _, _ = DecoderBlock(self.cfg, name="block")(
+            x, positions, segment_ids, None, None)
+        return x, None
+
+
 class CausalLM(nn.Module):
     """Token ids (or pre-spliced embeddings) -> logits (+ updated KV cache)."""
 
@@ -320,14 +334,38 @@ class CausalLM(nn.Module):
             self.embed_positions = Embed(
                 cfg.max_position_embeddings + 2, cfg.hidden_size,
                 dtype=cfg.dtype, name="embed_positions")
-        block = DecoderBlock
-        if cfg.remat:
-            block = nn.remat(
-                DecoderBlock, prevent_cse=False,
-                static_argnums=(),
-                policy=jax.checkpoint_policies.nothing_saveable)
-        self.blocks = [block(cfg, name=f"layers_{i}")
-                       for i in range(cfg.num_layers)]
+        if cfg.scan_layers:
+            # ONE scanned block with params stacked along a leading
+            # "layers" axis: every attention/MLP (and any Pallas kernel
+            # inside) is traced and compiled ONCE regardless of depth.
+            # Measured on this env's AOT helper, each Pallas kernel
+            # instance costs ~12 s to compile, so a 32-layer graph saves
+            # minutes per jit signature. Training-path only: the KV-cache
+            # layers tuple is not stacked (use convert.unstack_layer_params
+            # to serve a scan-trained checkpoint with the loop decoder).
+            wrapped = _BlockForScan
+            if cfg.remat:
+                wrapped = nn.remat(
+                    _BlockForScan, prevent_cse=False,
+                    policy=jax.checkpoint_policies.nothing_saveable)
+            self.blocks_scanned = nn.scan(
+                wrapped,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name="layers")
+            self.blocks = []
+        else:
+            block = DecoderBlock
+            if cfg.remat:
+                block = nn.remat(
+                    DecoderBlock, prevent_cse=False,
+                    static_argnums=(),
+                    policy=jax.checkpoint_policies.nothing_saveable)
+            self.blocks = [block(cfg, name=f"layers_{i}")
+                           for i in range(cfg.num_layers)]
         if cfg.final_norm:
             self.final_norm_layer = cfg.norm_layer("final_norm")
         if not cfg.tie_word_embeddings:
@@ -373,6 +411,18 @@ class CausalLM(nn.Module):
         x = inputs_embeds
         if cfg.positional == "learned":
             x = x + self.embed_positions(positions + 2)
+
+        if cfg.scan_layers:
+            assert kv_cache is None, (
+                "scan_layers is a training-path option; decode with the "
+                "loop decoder (convert.unstack_layer_params for weights)")
+            x, _ = self.blocks_scanned(x, positions, segment_ids)
+            if cfg.final_norm:
+                x = self.final_norm_layer(x)
+            logits = self.compute_logits(x)
+            if return_hidden:
+                return logits, None, x
+            return logits, None
 
         cache_aux = None
         if kv_cache is not None:
