@@ -63,6 +63,54 @@ def test_scan_layers_init_tree_shape():
     assert np.isfinite(gn) and gn > 0
 
 
+def test_scan_layers_trains_on_sharded_mesh():
+    """The scanned stack under dp2 x fsdp2 x tp2: stacked params take the
+    ('layers', ...) logical axes and the step executes on the mesh — the
+    multichip case scan_layers exists for (deep-model compile times)."""
+    from merlin_tpu.core.mesh import MeshConfig, create_mesh, set_global_mesh
+    from merlin_tpu.train.arguments import TrainingArguments
+    from merlin_tpu.train.optimizer import build_optimizer
+    from merlin_tpu.train.step import TrainState, make_train_step
+
+    devices = jax.devices()[:8]
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = dataclasses.replace(tiny(), scan_layers=True, remat=True)
+    model = CausalLM(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(3, 90, (4, 16)),
+                      jnp.int32)
+    params = model.init(jax.random.key(0), ids[:1])["params"]
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2),
+                       devices=devices)
+    set_global_mesh(mesh)
+    try:
+        targs = TrainingArguments(learning_rate=1e-3, warmup_ratio=0.0,
+                                  num_train_steps=2)
+        tx, _ = build_optimizer(targs, n_vit_layers=0,
+                                n_llm_layers=cfg.num_layers)
+
+        class _M:
+            # make_train_step expects the MMGPT interface:
+            # apply(..., labels=...) -> (logits, cache, loss)
+            def apply(self, variables, input_ids, **kw):
+                logits, cache = model.apply(
+                    variables, input_ids, segment_ids=kw.get("segment_ids"))
+                loss, _ = cross_entropy_loss(logits, kw["labels"])
+                return logits, cache, loss
+
+        step_fn = make_train_step(_M(), tx, mesh=mesh, donate=False)
+        batch = dict(input_ids=np.asarray(ids), labels=np.asarray(ids),
+                     segment_ids=np.ones((4, 16), np.int32),
+                     attention_mask=np.ones((4, 16), np.int32))
+        batch = {k: v[None] for k, v in batch.items()}  # 1 microbatch
+        with mesh:
+            state = TrainState.create(nn.unbox(params), tx)
+            state, metrics = step_fn(state, batch)
+            assert np.isfinite(float(metrics["loss"]))
+    finally:
+        set_global_mesh(None)
+
+
 def test_scan_layers_rejects_kv_cache():
     from merlin_tpu.models.decoder import init_kv_cache
 
