@@ -50,6 +50,12 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.mtl_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_uint64,
             ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
+        lib.mtl_open_at.restype = ctypes.c_void_p
+        lib.mtl_open_at.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64]
+        lib.mtl_position.restype = ctypes.c_uint64
+        lib.mtl_position.argtypes = [ctypes.c_void_p]
         lib.mtl_next.restype = ctypes.POINTER(ctypes.c_char)
         lib.mtl_next.argtypes = [ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_uint64)]
@@ -88,17 +94,35 @@ class NativeTarStream:
 
     def __init__(self, shards: Sequence[str], *, seed: int = 3407,
                  queue_cap: int = 256, n_threads: int = 2,
-                 max_epochs: int = 0):
+                 max_epochs: int = 0, start_index: int = 0):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native loader unavailable")
         self._lib = lib
+        self._init_kwargs = dict(seed=seed, queue_cap=queue_cap,
+                                 n_threads=n_threads, max_epochs=max_epochs)
         arr = (ctypes.c_char_p * len(shards))(
             *[s.encode() for s in shards])
-        self._handle = lib.mtl_open(arr, len(shards), seed, queue_cap,
-                                    n_threads, max_epochs)
+        self._handle = lib.mtl_open_at(arr, len(shards), seed, queue_cap,
+                                       n_threads, max_epochs, start_index)
         if not self._handle:
             raise RuntimeError("mtl_open failed (empty shard list?)")
+
+    # -- shard-granular resume cursor -----------------------------------
+    # The C++ loader streams shards on racing threads, so the sample order
+    # is non-deterministic; the honest resume unit is the shard. The
+    # position is the smallest shard index still being streamed: resuming
+    # there replays the in-flight shards and skips nothing. (For EXACT
+    # sample-level resume use the python-stage ResumableSampleStream via
+    # shard_sample_stream(resumable=True).)
+    def get_state(self) -> Dict:
+        return {"shard_pos": int(self._lib.mtl_position(self._handle))}
+
+    @staticmethod
+    def restore(shards: Sequence[str], state: Dict, **kwargs
+                ) -> "NativeTarStream":
+        return NativeTarStream(shards, start_index=int(state["shard_pos"]),
+                               **kwargs)
 
     def __iter__(self) -> Iterator[Dict[str, bytes]]:
         return self

@@ -20,7 +20,9 @@
 #include <deque>
 #include <fstream>
 #include <mutex>
+#include <map>
 #include <random>
+#include <set>
 #include <string>
 #include <thread>
 #include <vector>
@@ -135,14 +137,29 @@ class TarReader {
 class Loader {
  public:
   Loader(std::vector<std::string> shards, uint64_t seed, size_t queue_cap,
-         int n_threads, uint64_t max_epochs)
+         int n_threads, uint64_t max_epochs, uint64_t start_index)
       : shards_(std::move(shards)),
         seed_(seed),
         queue_cap_(queue_cap),
-        max_epochs_(max_epochs) {
+        max_epochs_(max_epochs),
+        next_shard_(start_index) {
     n_threads = std::max(1, n_threads);
     for (int i = 0; i < n_threads; ++i)
       threads_.emplace_back([this] { worker(); });
+  }
+
+  // Shard-granular resume cursor: the smallest shard index any worker has
+  // claimed but not finished (or the next unclaimed index when idle).
+  // Restarting from it replays partially-streamed shards and skips none —
+  // thread interleaving makes the native path non-deterministic at sample
+  // level anyway, so shard granularity is the honest unit.
+  uint64_t position() {
+    std::lock_guard<std::mutex> lk(mu_);
+    uint64_t pos = next_shard_.load();
+    if (!in_flight_.empty()) pos = std::min(pos, *in_flight_.begin());
+    if (!queued_counts_.empty())
+      pos = std::min(pos, queued_counts_.begin()->first);
+    return pos;
   }
 
   ~Loader() { stop(); }
@@ -166,10 +183,13 @@ class Loader {
       return !queue_.empty() || stopping_ || finished_workers_ == threads_.size();
     });
     if (queue_.empty()) return {};
-    std::string out = std::move(queue_.front());
+    QueuedSample out = std::move(queue_.front());
     queue_.pop_front();
+    auto it = queued_counts_.find(out.shard);
+    if (it != queued_counts_.end() && --it->second == 0)
+      queued_counts_.erase(it);
     cv_push_.notify_one();
-    return out;
+    return std::move(out.data);
   }
 
  private:
@@ -184,14 +204,15 @@ class Loader {
     return shards_[order[pos]];
   }
 
-  void push(Sample&& sample) {
+  void push(uint64_t shard, Sample&& sample) {
     if (sample.empty()) return;
     std::string ser = serialize(sample);
     std::unique_lock<std::mutex> lk(mu_);
     cv_push_.wait(lk,
                   [this] { return queue_.size() < queue_cap_ || stopping_; });
     if (stopping_) return;
-    queue_.push_back(std::move(ser));
+    queue_.push_back(QueuedSample{shard, std::move(ser)});
+    ++queued_counts_[shard];
     cv_pop_.notify_one();
   }
 
@@ -202,7 +223,16 @@ class Loader {
       {
         std::lock_guard<std::mutex> lk(mu_);
         if (stopping_) break;
+        in_flight_.insert(idx);
       }
+      struct InFlightGuard {
+        Loader* l;
+        uint64_t idx;
+        ~InFlightGuard() {
+          std::lock_guard<std::mutex> lk(l->mu_);
+          l->in_flight_.erase(idx);
+        }
+      } guard{this, idx};
       TarReader reader(shard_at(idx));
       if (!reader.ok()) continue;
       TarEntry entry;
@@ -226,7 +256,7 @@ class Loader {
         std::transform(field.begin(), field.end(), field.begin(), ::tolower);
         if (!current_key.empty() && key != current_key) {
           sample.push_back({"__key__", current_key});
-          push(std::move(sample));
+          push(idx, std::move(sample));
           sample = Sample{};
         }
         current_key = key;
@@ -234,7 +264,7 @@ class Loader {
       }
       if (!sample.empty()) {
         sample.push_back({"__key__", current_key});
-        push(std::move(sample));
+        push(idx, std::move(sample));
       }
     }
     std::lock_guard<std::mutex> lk(mu_);
@@ -248,11 +278,18 @@ class Loader {
   uint64_t max_epochs_;  // 0 = infinite
   std::vector<std::thread> threads_;
   std::atomic<uint64_t> next_shard_{0};
+  std::set<uint64_t> in_flight_;  // claimed, not yet finished (guarded by mu_)
   size_t finished_workers_ = 0;
+
+  struct QueuedSample {
+    uint64_t shard;
+    std::string data;
+  };
 
   std::mutex mu_;
   std::condition_variable cv_pop_, cv_push_;
-  std::deque<std::string> queue_;
+  std::deque<QueuedSample> queue_;
+  std::map<uint64_t, size_t> queued_counts_;  // shard -> queued samples
   bool stopping_ = false;
 };
 
@@ -268,7 +305,23 @@ void* mtl_open(const char** shard_paths, int n_shards, uint64_t seed,
   if (shards.empty()) return nullptr;
   return new Loader(std::move(shards), seed,
                     static_cast<size_t>(std::max(1, queue_cap)), n_threads,
-                    max_epochs);
+                    max_epochs, 0);
+}
+
+void* mtl_open_at(const char** shard_paths, int n_shards, uint64_t seed,
+                  int queue_cap, int n_threads, uint64_t max_epochs,
+                  uint64_t start_index) {
+  std::vector<std::string> shards;
+  shards.reserve(n_shards);
+  for (int i = 0; i < n_shards; ++i) shards.emplace_back(shard_paths[i]);
+  if (shards.empty()) return nullptr;
+  return new Loader(std::move(shards), seed,
+                    static_cast<size_t>(std::max(1, queue_cap)), n_threads,
+                    max_epochs, start_index);
+}
+
+uint64_t mtl_position(void* handle) {
+  return static_cast<Loader*>(handle)->position();
 }
 
 // Returns a malloc'd buffer the caller must mtl_free(); *out_len = 0 at end.
