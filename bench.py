@@ -287,6 +287,23 @@ def bench_train_multimodal(remat: bool = True, batch: int = 4):
     return B * S / dt, mfu
 
 
+def bench_calibration():
+    """Chip speed reference: bf16 8192^3 matmul TF/s. The tunnel'd chip
+    throttles by session (observed 126 down to 99 TF/s across rounds) —
+    record it with every run so metric deltas can be normalized."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
+    mm = jax.jit(lambda a: a @ a)
+    r = mm(x)
+    float(r.astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r = mm(x)
+    float(r.astype(jnp.float32).sum())
+    dt = (time.perf_counter() - t0) / 5
+    return 2 * 8192 ** 3 / dt / 1e12
+
+
 def bench_paged_bandwidth():
     """Effective HBM bandwidth of the paged decode kernel at the vicuna-7b
     shape with permuted (pooled) page tables. 20 calls chained inside ONE
@@ -393,6 +410,8 @@ def main():
     }), flush=True)
 
     for name, fn in [
+        ("calibration", lambda: details.update(
+            calibration_matmul_tflops=round(bench_calibration(), 1))),
         ("paged_bw", lambda: details.update(
             paged_decode_effective_gbps=round(bench_paged_bandwidth()))),
         ("vit", lambda: (lambda fps: details.update(
