@@ -105,19 +105,31 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
     tables start as the identity mapping (sequence b owns pages
     [b*pps, (b+1)*pps)) — continuous-batching engines can hand in arbitrary
     tables. ``lengths`` tracks valid tokens per sequence, so ragged decode
-    needs no shared cursor.
+    needs no shared cursor. ``dtype=jnp.int8`` quantizes the pages
+    (per-token-per-head absmax scales ride along as ``k/v_scales``) —
+    half the cache memory and page bandwidth.
     """
     if layout == "paged":
         pps = -(-max_len // page_size)
         total = batch * pps
         # head-packed page layout: one page = one contiguous region for
         # ALL kv heads (single-DMA pages; ops/paged_attention.py)
-        layer = lambda: {
-            "k_pages": jnp.zeros(
-                (total, page_size, cfg.kv_heads * cfg.head_size), dtype),
-            "v_pages": jnp.zeros(
-                (total, page_size, cfg.kv_heads * cfg.head_size), dtype),
-        }
+        packed = cfg.kv_heads * cfg.head_size
+
+        def layer():
+            out = {
+                "k_pages": jnp.zeros((total, page_size, packed), dtype),
+                "v_pages": jnp.zeros((total, page_size, packed), dtype),
+            }
+            if dtype == jnp.int8:
+                # one lane per kv head, padded to the 128-lane tile so
+                # scale pages can ride DMAs (ops/paged_attention.py)
+                out["k_scales"] = jnp.zeros(
+                    (total, page_size, 128), jnp.float32)
+                out["v_scales"] = jnp.zeros(
+                    (total, page_size, 128), jnp.float32)
+            return out
+
         tables = jnp.arange(total, dtype=jnp.int32).reshape(batch, pps)
         return {
             "layers": tuple(layer() for _ in range(cfg.num_layers)),
@@ -183,11 +195,22 @@ class Attention(nn.Module):
             tables = cache_aux["page_tables"]
             lengths = cache_aux["lengths"]
             kp, vp = layer_cache["k_pages"], layer_cache["v_pages"]
+            q8 = "k_scales" in layer_cache
+            ks = layer_cache.get("k_scales")
+            vs = layer_cache.get("v_scales")
             s_q = q.shape[1]
             if s_q == 1:
-                kp, vp = write_token_to_pages(
-                    kp, vp, k[:, 0], v[:, 0], positions=lengths,
-                    page_tables=tables)
+                if q8:
+                    from merlin_tpu.ops.paged_attention import (
+                        write_token_to_pages_q8)
+
+                    kp, ks, vp, vs = write_token_to_pages_q8(
+                        kp, ks, vp, vs, k[:, 0], v[:, 0],
+                        positions=lengths, page_tables=tables)
+                else:
+                    kp, vp = write_token_to_pages(
+                        kp, vp, k[:, 0], v[:, 0], positions=lengths,
+                        page_tables=tables)
                 # MERLIN_PAGED_DECODE=xla routes through the gather+dense
                 # reference: each Pallas kernel instance costs ~12s in the
                 # AOT compile helper (no content dedup), so a 32-layer
@@ -197,8 +220,22 @@ class Attention(nn.Module):
                 # path trades that for ~30x faster compiles. Default
                 # stays on the kernels (fastest steady state).
                 impl = os.environ.get("MERLIN_PAGED_DECODE", "pallas")
+                mha = q.shape[2] == hkv
                 if jax.default_backend() == "tpu" and impl == "pallas":
-                    if slopes is None:
+                    if q8 and slopes is None and mha:
+                        from merlin_tpu.ops.paged_attention import (
+                            paged_attention_dma_q8)
+
+                        step = paged_attention_dma_q8(
+                            q[:, 0], kp, ks, vp, vs, lengths + 1, tables)
+                    elif q8:
+                        from merlin_tpu.ops.paged_attention import (
+                            paged_attention_quantized)
+
+                        step = paged_attention_quantized(
+                            q[:, 0], kp, ks, vp, vs, lengths + 1, tables,
+                            alibi_slopes=slopes)
+                    elif slopes is None:
                         from merlin_tpu.ops.paged_attention import (
                             paged_attention_dma)
 
@@ -210,9 +247,11 @@ class Attention(nn.Module):
                             alibi_slopes=slopes)
                 else:
                     from merlin_tpu.ops.paged_attention import (
-                        paged_attention_reference)
+                        dequantize_pages, paged_attention_reference)
+                    kd, vd = (dequantize_pages(kp, ks, d),
+                              dequantize_pages(vp, vs, d)) if q8 else (kp, vp)
                     step = paged_attention_reference(
-                        q[:, 0], kp, vp, lengths + 1, tables,
+                        q[:, 0], kd, vd, lengths + 1, tables,
                         alibi_slopes=slopes)
                 out = step[:, None]
             else:
@@ -222,19 +261,38 @@ class Attention(nn.Module):
                 b_, s_ = k.shape[:2]
                 pps = tables.shape[1]
                 page = kp.shape[1]
-                kt = k.reshape(b_, s_, hkv * d).astype(kp.dtype)
-                vt = v.reshape(b_, s_, hkv * d).astype(vp.dtype)
-                kview = kp.reshape(b_, pps * page, hkv * d)
-                vview = vp.reshape(b_, pps * page, hkv * d)
-                kview = jax.lax.dynamic_update_slice(kview, kt, (0, 0, 0))
-                vview = jax.lax.dynamic_update_slice(vview, vt, (0, 0, 0))
-                kp = kview.reshape(b_ * pps, page, hkv * d)
-                vp = vview.reshape(b_ * pps, page, hkv * d)
+                kt = k.reshape(b_, s_, hkv * d)
+                vt = v.reshape(b_, s_, hkv * d)
+                if q8:
+                    from merlin_tpu.ops.paged_attention import quantize_pages
+
+                    ktq, ksq = quantize_pages(kt, d)
+                    vtq, vsq = quantize_pages(vt, d)
+                    def bulk(pages, rows):
+                        view = pages.reshape(b_, pps * page, *pages.shape[2:])
+                        view = jax.lax.dynamic_update_slice(
+                            view, rows.astype(pages.dtype),
+                            (0, 0) + (0,) * (rows.ndim - 2))
+                        return view.reshape(pages.shape)
+                    kp, ks = bulk(kp, ktq), bulk(ks, ksq)
+                    vp, vs = bulk(vp, vtq), bulk(vs, vsq)
+                else:
+                    kview = kp.reshape(b_, pps * page, hkv * d)
+                    vview = vp.reshape(b_, pps * page, hkv * d)
+                    kview = jax.lax.dynamic_update_slice(
+                        kview, kt.astype(kp.dtype), (0, 0, 0))
+                    vview = jax.lax.dynamic_update_slice(
+                        vview, vt.astype(vp.dtype), (0, 0, 0))
+                    kp = kview.reshape(b_ * pps, page, hkv * d)
+                    vp = vview.reshape(b_ * pps, page, hkv * d)
                 out = flash_or_xla_attention(
                     q, k, v, causal=True,
                     segment_ids_q=segment_ids, segment_ids_kv=segment_ids,
                     alibi_slopes=slopes)
             new_cache = {"k_pages": kp, "v_pages": vp}
+            if q8:
+                new_cache["k_scales"] = ks
+                new_cache["v_scales"] = vs
         else:
             # Write this step's K/V (and validity) into the cache at `index`.
             idx = cache_index

@@ -376,6 +376,177 @@ def paged_attention_dma(
     return out
 
 
+def _paged_dma_q8_kernel(
+    lengths_ref, page_tables_ref,
+    qbd_ref, k_hbm_ref, ks_hbm_ref, v_hbm_ref, vs_hbm_ref,
+    out_ref,
+    k_buf, ks_buf, v_buf, vs_buf, sems, m_scr, l_scr, acc_scr,
+    *, scale: float, page_size: int, pages_per_block: int,
+    max_blocks: int, hkv: int, d: int,
+):
+    """int8 variant of the head-packed DMA kernel (MHA: group == 1).
+
+    Scales fold OUTSIDE the matmuls: s[h, t] = (qbd @ k_int8^T)[h, t] *
+    k_scale[t, h] and the V scale multiplies P before the P@V matmul —
+    so the MXU operands stay int8-cast-bf16 and no (tokens, hkv*d)
+    dequantized tile is ever materialized."""
+    t = pl.program_id(0)
+    total = pl.num_programs(0)
+    block_tokens = page_size * pages_per_block
+
+    def unflatten(tt):
+        return tt // max_blocks, jax.lax.rem(tt, max_blocks)
+
+    def active(tt):
+        b_t, blk_t = unflatten(tt)
+        return blk_t * block_tokens < lengths_ref[b_t]
+
+    def copies(tt, slot):
+        b_t, blk_t = unflatten(tt)
+        out = []
+        for j in range(pages_per_block):
+            page = page_tables_ref[b_t, blk_t * pages_per_block + j]
+            out.append(pltpu.make_async_copy(
+                k_hbm_ref.at[page], k_buf.at[slot, j], sems.at[0, slot, j]))
+            out.append(pltpu.make_async_copy(
+                v_hbm_ref.at[page], v_buf.at[slot, j], sems.at[1, slot, j]))
+            out.append(pltpu.make_async_copy(
+                ks_hbm_ref.at[page], ks_buf.at[slot, j], sems.at[2, slot, j]))
+            out.append(pltpu.make_async_copy(
+                vs_hbm_ref.at[page], vs_buf.at[slot, j], sems.at[3, slot, j]))
+        return out
+
+    b, blk = unflatten(t)
+    length = lengths_ref[b]
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _bootstrap():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(jnp.logical_and(t + 1 < total, active(t + 1)))
+    def _prefetch_next():
+        for c in copies(t + 1, 1 - slot):
+            c.start()
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(active(t))
+    def _compute():
+        for c in copies(t, slot):
+            c.wait()
+        k = k_buf[slot].reshape(block_tokens, hkv * d).astype(jnp.bfloat16)
+        v = v_buf[slot].reshape(block_tokens, hkv * d).astype(jnp.bfloat16)
+        k_sc = ks_buf[slot].reshape(block_tokens, _LANES)[:, :hkv]
+        v_sc = vs_buf[slot].reshape(block_tokens, _LANES)[:, :hkv]
+
+        s = jax.lax.dot_general(
+            qbd_ref[0], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (hkv, tokens)
+        s = s * k_sc.T * scale
+        k_pos = blk * block_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < length, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        p_scaled = p * v_sc.T                            # fold v's scales
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p_scaled.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jnp.logical_and(
+        active(t),
+        jnp.logical_or(blk == max_blocks - 1,
+                       (blk + 1) * block_tokens >= length)))
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        acc = acc_scr[:] / l
+        for qh in range(hkv):
+            sl = slice(qh * d, qh * d + d)
+            out_ref[0, qh, :] = acc[qh, sl].astype(out_ref.dtype)
+
+
+def paged_attention_dma_q8(
+    q: jax.Array, k_values: jax.Array, k_scales: jax.Array,
+    v_values: jax.Array, v_scales: jax.Array,
+    lengths: jax.Array, page_tables: jax.Array, *,
+    pages_per_block: Optional[int] = None, scale: Optional[float] = None,
+) -> jax.Array:
+    """Head-packed DMA decode over int8 pages (MHA only: h == hkv).
+
+    k/v_values: (P, page, hkv*d) int8; k/v_scales: (P, page, hkv) f32."""
+    b, h, d = q.shape
+    total_pages, page_size, packed = k_values.shape
+    hkv = packed // d
+    assert h == hkv, "q8 DMA kernel is MHA-only; GQA uses the blockspec q8"
+    pages_per_seq = page_tables.shape[1]
+    page_bytes = page_size * packed  # int8
+    cap = max(1, _DMA_VMEM_BUDGET // (4 * page_bytes))
+    pages_per_block = cap if pages_per_block is None else min(
+        pages_per_block, cap)
+    while pages_per_seq % pages_per_block:
+        pages_per_block -= 1
+    pages_per_block = max(pages_per_block, 1)
+    max_blocks = pages_per_seq // pages_per_block
+    scale = scale if scale is not None else d ** -0.5
+
+    lane_head = jnp.arange(packed) // d
+    diag = (lane_head[None, :] == jnp.arange(h)[:, None])
+    qbd = jnp.where(diag[None], jnp.tile(q, (1, 1, hkv)), 0) \
+        .astype(jnp.bfloat16)
+
+    def cell_map(t, lens, tables):
+        return t // max_blocks, 0, 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * max_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, h, packed), cell_map),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), cell_map),
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_block, page_size, packed), jnp.int8),
+            pltpu.VMEM((2, pages_per_block, page_size, _LANES), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size, packed), jnp.int8),
+            pltpu.VMEM((2, pages_per_block, page_size, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2, pages_per_block)),
+            pltpu.VMEM((h, _LANES), jnp.float32),
+            pltpu.VMEM((h, _LANES), jnp.float32),
+            pltpu.VMEM((h, packed), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_dma_q8_kernel, scale=scale, page_size=page_size,
+            pages_per_block=pages_per_block, max_blocks=max_blocks,
+            hkv=hkv, d=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      qbd, k_values, k_scales, v_values, v_scales)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # int8-quantized pages (halves the page-load bandwidth; guide §13 pattern)
 # ---------------------------------------------------------------------------
@@ -383,10 +554,11 @@ def paged_attention_dma(
 def quantize_pages(pages: jax.Array, head_dim: int
                    ) -> Tuple[jax.Array, jax.Array]:
     """(P, page, hkv*d) float -> (int8 values same shape,
-    scales (P, page, hkv)).
+    scales (P, page, 128)).
 
     Per-(token, head) absmax scaling: each cached token's d-vector per kv
-    head gets one scale, so dequantization is a broadcast multiply.
+    head gets one scale (first hkv lanes; the rest pad to the 128-lane
+    tile so scale pages can ride DMAs and tiled VMEM buffers).
     """
     p_, page, packed = pages.shape
     hkv = packed // head_dim
@@ -395,15 +567,16 @@ def quantize_pages(pages: jax.Array, head_dim: int
     scales = jnp.maximum(absmax / 127.0, 1e-8)
     values = jnp.clip(jnp.round(split / scales), -127, 127) \
         .astype(jnp.int8).reshape(p_, page, packed)
-    return values, scales[..., 0].astype(jnp.float32)
+    sc = scales[..., 0].astype(jnp.float32)
+    return values, jnp.pad(sc, ((0, 0), (0, 0), (0, _LANES - hkv)))
 
 
 def dequantize_pages(values: jax.Array, scales: jax.Array,
-                     dtype=jnp.bfloat16) -> jax.Array:
+                     head_dim: int, dtype=jnp.bfloat16) -> jax.Array:
     p_, page, packed = values.shape
-    hkv = scales.shape[-1]
-    split = values.astype(jnp.float32).reshape(p_, page, hkv, -1)
-    return (split * scales[..., None]).astype(dtype).reshape(
+    hkv = packed // head_dim
+    split = values.astype(jnp.float32).reshape(p_, page, hkv, head_dim)
+    return (split * scales[..., :hkv, None]).astype(dtype).reshape(
         p_, page, packed)
 
 
@@ -428,10 +601,10 @@ def _paged_q8_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     def scale_col(scale_ref):
-        # scales block is (page, hkv) for ALL heads; a dynamic lane slice
-        # does not lower, so select column hk with a one-hot reduce
-        sc = scale_ref[0]                              # (page, hkv)
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (1, hkv), 1)
+        # scales block is (page, 128) with one lane per kv head; a dynamic
+        # lane slice does not lower, so select column hk via one-hot reduce
+        sc = scale_ref[0]                              # (page, _LANES)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
               == hk).astype(sc.dtype)
         return jnp.sum(sc * oh, axis=1, keepdims=True)  # (page, 1)
 
@@ -502,7 +675,7 @@ def paged_attention_quantized(
         (1, page_size, d),
         lambda b_, h_, p_, lens, tables, sl: (tables[b_, p_], 0, h_))
     scale_block = pl.BlockSpec(
-        (1, page_size, hkv),
+        (1, page_size, _LANES),
         lambda b_, h_, p_, lens, tables, sl: (tables[b_, p_], 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -609,3 +782,38 @@ def write_token_to_pages(k_pages, v_pages, k_new, v_new, *, positions,
         return jax.lax.fori_loop(0, new.shape[0], body, pages)
 
     return write(k_pages, k_new), write(v_pages, v_new)
+
+
+def write_token_to_pages_q8(k_pages, k_scales, v_pages, v_scales,
+                            k_new, v_new, *, positions, page_tables):
+    """int8 variant: quantize each token's per-head rows on write.
+
+    k/v_pages: (P, page, hkv*d) int8; k/v_scales: (P, page, 128) f32
+    (lane per kv head); k/v_new: (b, hkv, d). Returns the four updated
+    arrays."""
+    page_size = k_pages.shape[1]
+    logical_page = positions // page_size
+    offset = positions % page_size
+    phys = jnp.take_along_axis(page_tables, logical_page[:, None],
+                               axis=1)[:, 0]
+
+    def write(pages, scales, new):
+        absmax = jnp.max(jnp.abs(new.astype(jnp.float32)), axis=-1)
+        sc = jnp.maximum(absmax / 127.0, 1e-8)            # (b, hkv)
+        q8 = jnp.clip(jnp.round(new.astype(jnp.float32) / sc[..., None]),
+                      -127, 127).astype(jnp.int8)
+        flat = q8.reshape(q8.shape[0], -1)
+
+        sc_pad = jnp.pad(sc, ((0, 0), (0, _LANES - sc.shape[1])))
+
+        def body(i, carry):
+            p_, s_ = carry
+            p_ = p_.at[phys[i], offset[i], :].set(flat[i])
+            s_ = s_.at[phys[i], offset[i], :].set(sc_pad[i])
+            return p_, s_
+
+        return jax.lax.fori_loop(0, new.shape[0], body, (pages, scales))
+
+    k_pages, k_scales = write(k_pages, k_scales, k_new)
+    v_pages, v_scales = write(v_pages, v_scales, v_new)
+    return k_pages, k_scales, v_pages, v_scales

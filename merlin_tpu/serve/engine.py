@@ -136,9 +136,10 @@ class ServingEngine:
             def put(big, small):
                 return big.at[phys].set(small.astype(big.dtype))
 
+            # generic over the layer dict: k/v_pages (+ k/v_scales for
+            # int8 caches) all scatter along the pages axis
             new_layers = tuple(
-                {"k_pages": put(bl["k_pages"], sl["k_pages"]),
-                 "v_pages": put(bl["v_pages"], sl["v_pages"])}
+                {kk: put(bl[kk], sl[kk]) for kk in bl}
                 for bl, sl in zip(big_layers, small_layers))
             lengths = lengths.at[slot].set(small_lengths[0])
             return new_layers, lengths

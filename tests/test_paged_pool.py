@@ -69,11 +69,11 @@ def test_quantize_dequantize_roundtrip():
     pages = jnp.asarray(rng.normal(size=(2, 3, hkv * d)) * 5, jnp.float32)
     values, scales = quantize_pages(pages, d)
     assert values.dtype == jnp.int8 and values.shape == pages.shape
-    assert scales.shape == (2, 3, hkv)
-    back = dequantize_pages(values, scales, jnp.float32)
+    assert scales.shape == (2, 3, 128)  # lane per kv head, tile-padded
+    back = dequantize_pages(values, scales, d, jnp.float32)
     rel = float(jnp.linalg.norm(back - pages) / jnp.linalg.norm(pages))
     assert rel < 0.01
     # zero rows stay finite
     z = jnp.zeros((1, 1, hkv * d))
     vq, sq = quantize_pages(z, d)
-    assert jnp.isfinite(dequantize_pages(vq, sq)).all()
+    assert jnp.isfinite(dequantize_pages(vq, sq, d)).all()

@@ -79,6 +79,33 @@ def test_engine_recycles_slots_and_streams(model_params):
         assert streamed[i][-1][1] is True  # final callback marks done
 
 
+def test_engine_int8_cache_matches_int8_generator(model_params):
+    """cache_dtype=int8: pages quantize per-token-per-head on write and
+    the engine's outputs equal the Generator's over the same int8 cache
+    (identical math on the XLA path)."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.int8)
+    prompts = [[5, 17, 33, 41], [7, 9, 11]]
+    reqs = [engine.submit(p, max_new_tokens=6) for p in prompts]
+    engine.run_until_idle()
+    for req, prompt in zip(reqs, prompts):
+        assert req.done
+        gen = Generator(model, GenerateConfig(
+            max_new_tokens=6, eos_id=EOS, pad_id=PAD, kv_layout="paged",
+            cache_dtype=jnp.int8, prompt_bucket=16))
+        out = gen(params, np.asarray([prompt], np.int32))[0].tolist()
+        expected = []
+        for t in out:
+            expected.append(t)
+            if t == EOS:
+                break
+        while expected and expected[-1] == PAD:
+            expected.pop()
+        assert req.generated == expected, (prompt, req.generated, expected)
+
+
 def test_engine_preemption_recovers(model_params):
     """When the page pool can't grow a sequence, the youngest other request
     is preempted (pages released, recompute-requeued) and BOTH requests

@@ -103,3 +103,28 @@ def test_paged_attention_dma_mha_group1():
     ref = paged_attention_reference(q, kp, vp, lengths, tables)
     out = paged_attention_dma(q, kp, vp, lengths, tables, pages_per_block=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_paged_attention_dma_q8_matches_blockspec_q8():
+    """int8 head-packed DMA kernel (scales folded outside the matmuls) vs
+    the blockspec q8 kernel."""
+    from merlin_tpu.ops.paged_attention import (
+        paged_attention_dma_q8, paged_attention_quantized, quantize_pages)
+
+    rng = np.random.default_rng(3)
+    b, h, hkv, d = 4, 8, 8, 128
+    page_size, total_pages, pages_per_seq = 128, 64, 8
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    kp = jnp.asarray(
+        rng.normal(size=(total_pages, page_size, hkv * d)), jnp.float32)
+    vp = jnp.asarray(
+        rng.normal(size=(total_pages, page_size, hkv * d)), jnp.float32)
+    lengths = jnp.asarray([100, 512, 1, 1000], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+    kq, ks = quantize_pages(kp, d)
+    vq, vs = quantize_pages(vp, d)
+    ref = paged_attention_quantized(q, kq, ks, vq, vs, lengths, tables)
+    out = paged_attention_dma_q8(q, kq, ks, vq, vs, lengths, tables)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)
