@@ -41,7 +41,8 @@ class ModelWorker:
                  limit_concurrency: int = 5,
                  conv_template: str = "v1",
                  use_engine: bool = False, engine_slots: int = 4,
-                 engine_max_len: int = 2048):
+                 engine_max_len: int = 2048, engine_chunk_steps: int = 8,
+                 engine_pipeline: int = 1, engine_cache_dtype=None):
         from merlin_tpu.eval.runner import EvalConfig, EvalModel
 
         self.bundle = bundle
@@ -60,11 +61,19 @@ class ModelWorker:
             # across slots (image requests still run the per-request path)
             from merlin_tpu.serve.engine import ServingEngine
 
+            import jax.numpy as jnp
+
+            kw = {}
+            if engine_cache_dtype:
+                kw["cache_dtype"] = {"bf16": jnp.bfloat16,
+                                     "int8": jnp.int8,
+                                     "f32": jnp.float32}[engine_cache_dtype]
             self.engine = ServingEngine(
                 bundle.model, bundle.params, num_slots=engine_slots,
-                max_len=engine_max_len,
+                max_len=engine_max_len, chunk_steps=engine_chunk_steps,
+                pipeline=engine_pipeline,
                 eos_id=bundle.tokenizer.eos_token_id,
-                pad_id=bundle.tokenizer.pad_token_id)
+                pad_id=bundle.tokenizer.pad_token_id, **kw)
             threading.Thread(target=self._engine_loop, daemon=True).start()
         if controller_address:
             self.register()
@@ -234,12 +243,16 @@ def serve(bundle, *, host: str = "0.0.0.0", port: int = 21002,
           controller_address: Optional[str] = None,
           model_names: Optional[List[str]] = None,
           use_engine: bool = False, engine_slots: int = 4,
-          engine_max_len: int = 2048) -> ThreadingHTTPServer:
+          engine_max_len: int = 2048, engine_chunk_steps: int = 8,
+          engine_pipeline: int = 1,
+          engine_cache_dtype=None) -> ThreadingHTTPServer:
     worker = ModelWorker(
         bundle, worker_address=f"http://{host}:{port}",
         controller_address=controller_address, model_names=model_names,
         use_engine=use_engine, engine_slots=engine_slots,
-        engine_max_len=engine_max_len)
+        engine_max_len=engine_max_len, engine_chunk_steps=engine_chunk_steps,
+        engine_pipeline=engine_pipeline,
+        engine_cache_dtype=engine_cache_dtype)
     server = ThreadingHTTPServer((host, port), make_handler(worker))
     server.worker = worker
     return server
@@ -260,6 +273,16 @@ def main():
     p.add_argument("--engine", action="store_true",
                    help="continuous-batching decode across slots")
     p.add_argument("--engine-slots", type=int, default=4)
+    p.add_argument("--engine-chunk-steps", type=int, default=8,
+                   help="decode steps per jitted chunk (1 = no-scan path, "
+                        "lowest memory; fits full-7B on one 16GB chip)")
+    p.add_argument("--engine-pipeline", type=int, default=1,
+                   help="record tokens N chunks behind the dispatch "
+                        "(hides the host round trip; 8 recommended behind "
+                        "a remote tunnel)")
+    p.add_argument("--engine-cache-dtype", default=None,
+                   choices=[None, "bf16", "int8", "f32"],
+                   help="int8 halves KV pool memory (per-token-head scales)")
     args, rest = p.parse_known_args()
 
     margs, dargs, targs = parse_args(rest)
@@ -270,7 +293,10 @@ def main():
     server = serve(bundle, host=args.host, port=args.port,
                    controller_address=args.controller_address,
                    use_engine=args.engine, engine_slots=args.engine_slots,
-                   engine_max_len=targs.model_max_length)
+                   engine_max_len=targs.model_max_length,
+                   engine_chunk_steps=args.engine_chunk_steps,
+                   engine_pipeline=args.engine_pipeline,
+                   engine_cache_dtype=args.engine_cache_dtype)
     logger.info("worker listening on %s:%d", args.host, args.port)
     server.serve_forever()
 
