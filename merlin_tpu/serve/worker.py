@@ -125,7 +125,6 @@ class ModelWorker:
 
     def generate_stream(self, params: Dict) -> Iterator[bytes]:
         """Yield accumulated-text chunks (model_worker.py:162-187)."""
-        import dataclasses
         import jax.numpy as jnp
         from merlin_tpu.generate.decode import (
             GenerateConfig, Generator, truncate_at_keywords)
