@@ -394,7 +394,10 @@ class ServingEngine:
             self._active_np = active_mask
             self._active_dev = jnp.asarray(active_mask)
             self._temps_dev = jnp.asarray(temps)
-        self._rng, sub = jax.random.split(self._rng)
+        if float(temps.max()) > 1e-4:
+            self._rng, sub = jax.random.split(self._rng)
+        else:
+            sub = self._rng   # all-greedy: the sample branch is discarded
         if self.chunk_steps == 1:
             # no-scan path: the chunk scan's carry holds a SECOND copy of
             # the whole paged pool during compile; single-step decode with
