@@ -60,9 +60,14 @@ def _make_kernel(*, scale: float, kv_len: int, g: int, d: int,
 
     ``assume_bounded`` drops the max-subtraction: p = exp2(s) directly.
     Exact in f32 as long as natural logits stay below ~88 (f32 exp2
-    overflows at 2^127) — guaranteed for LayerNorm'd towers, whose logits
-    are empirically < 30. Saves a max-reduce + subtract pass over the
-    score tile, which is a large share of this VPU-bound kernel."""
+    overflows at 2^127) — true for LayerNorm'd towers at inference, whose
+    logits are empirically < 30. Saves a max-reduce + subtract pass over
+    the score tile, a large share of this VPU-bound kernel. The scores are
+    still clamped at 2^120 so a pathological checkpoint degrades to a
+    saturated-but-finite softmax instead of inf/NaN; the trained path
+    (emit_lse) always runs with ``assume_bounded=False`` because
+    attention-logit growth during fine-tuning is a real instability and
+    the LSE residual must be exact for the backward kernels."""
     c = scale * LOG2E
 
     def kernel(q_ref, k_ref, v_ref, out_ref, *maybe_lse):
@@ -77,7 +82,9 @@ def _make_kernel(*, scale: float, kv_len: int, g: int, d: int,
                 k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 s = jnp.where(k_pos < kv_len, s, NEG_INF)
             if assume_bounded:
-                p = jnp.exp2(s)
+                # clamp: overflow (logits >= ~88 natural) saturates the
+                # softmax instead of producing inf/NaN outputs
+                p = jnp.exp2(jnp.minimum(s, 120.0))
                 m = None
             else:
                 m = jnp.max(s, axis=-1, keepdims=True)
@@ -214,7 +221,7 @@ def _onepass_fwd_rule(q, k, v, scale):
     kp = _pad_rows(k, 128)
     vp = _pad_rows(v, 128)
     out, lse = _onepass_fwd(qp, kp, vp, scale=scale, kv_len=k.shape[1],
-                            emit_lse=True)
+                            emit_lse=True, assume_bounded=False)
     return out[:, :sq], (qp, kp, vp, out, lse, sq, k.shape[1])
 
 

@@ -724,13 +724,22 @@ class PagePool:
         self.lengths = {}  # seq id -> tokens written
 
     def allocate(self, seq_id, num_tokens: int):
-        """Reserve pages for `num_tokens`; returns the page table list."""
+        """Reserve pages for `num_tokens`; returns the page table list.
+
+        Atomic on failure: a MemoryError returns any newly-grabbed pages
+        to the pool (and removes an empty table entry), so a failed
+        reservation never leaves pages parked on a queued request."""
         needed = -(-num_tokens // self.page_size)
         if needed > self.pages_per_seq:
             raise ValueError("sequence exceeds pages_per_seq")
         table = self.tables.setdefault(seq_id, [])
+        start = len(table)
         while len(table) < needed:
             if not self._free:
+                self._free.extend(reversed(table[start:]))
+                del table[start:]
+                if not table:
+                    self.tables.pop(seq_id, None)
                 raise MemoryError("page pool exhausted")
             table.append(self._free.pop())
         self.lengths[seq_id] = num_tokens

@@ -49,6 +49,7 @@ class Request:
     # filled by the engine
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None
     # tokens of `generated` already folded into input_ids by a previous
     # preemption (a twice-preempted request must not duplicate them)
     baked_generated: int = 0
@@ -211,17 +212,27 @@ class ServingEngine:
         for slot in range(self.num_slots):
             if self.slots[slot] is not None:
                 continue
-            req = self._pop_request()
-            if req is None:
-                return
-            ids = self._bucketed(req.input_ids)
-            try:
-                # reserve the bucketed prompt's pages (prefill writes the
-                # whole bucket; padded rows are masked by `lengths`)
-                table = self.pool.allocate(req.req_id, ids.shape[1])
-            except MemoryError:
-                self._requeue_front(req)
-                return
+            while True:
+                req = self._pop_request()
+                if req is None:
+                    return
+                ids = self._bucketed(req.input_ids)
+                try:
+                    # reserve the bucketed prompt's pages (prefill writes
+                    # the whole bucket; padded rows are masked by `lengths`)
+                    table = self.pool.allocate(req.req_id, ids.shape[1])
+                    break
+                except MemoryError:
+                    self._requeue_front(req)
+                    return
+                except ValueError as e:
+                    # prompt longer than a slot can ever hold: fail just
+                    # this request (engine keeps serving) and retry the
+                    # slot with the next queued request
+                    req.done = True
+                    req.error = str(e)
+                    if req.emit:
+                        req.emit(self.pad_id, True)
             mask = jnp.asarray(ids != self.pad_id)
             small = init_kv_cache(
                 self.lm_cfg, 1, max_len=ids.shape[1], layout="paged",
@@ -349,7 +360,10 @@ class ServingEngine:
         stale tokens must not leak into the new occupant."""
         if not force and len(self._inflight) <= self.pipeline:
             return
-        keep = 0 if force else 1   # keep one in flight to cover the sync
+        # pipeline=0 means synchronous token recording (every chunk is
+        # fetched before the next dispatch); pipeline>=1 keeps one chunk
+        # in flight across the sync so the device never idles
+        keep = 0 if (force or self.pipeline == 0) else 1
         batch = []
         while len(self._inflight) > keep:
             batch.append(self._inflight.popleft())

@@ -13,7 +13,6 @@
 // Build: make -C native   ->  native/libmerlin_loader.so
 
 #include <algorithm>
-#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -155,7 +154,7 @@ class Loader {
   // level anyway, so shard granularity is the honest unit.
   uint64_t position() {
     std::lock_guard<std::mutex> lk(mu_);
-    uint64_t pos = next_shard_.load();
+    uint64_t pos = next_shard_;
     if (!in_flight_.empty()) pos = std::min(pos, *in_flight_.begin());
     if (!queued_counts_.empty())
       pos = std::min(pos, queued_counts_.begin()->first);
@@ -218,11 +217,17 @@ class Loader {
 
   void worker() {
     while (true) {
-      uint64_t idx = next_shard_.fetch_add(1);
-      if (max_epochs_ && idx >= max_epochs_ * shards_.size()) break;
+      uint64_t idx;
       {
+        // Claim the index and mark it in-flight under ONE lock hold:
+        // position() must never observe next_shard_ advanced past an
+        // index that is neither in in_flight_ nor queued (a checkpoint
+        // taken in that window would skip the shard on resume).
         std::lock_guard<std::mutex> lk(mu_);
         if (stopping_) break;
+        idx = next_shard_;
+        if (max_epochs_ && idx >= max_epochs_ * shards_.size()) break;
+        ++next_shard_;
         in_flight_.insert(idx);
       }
       struct InFlightGuard {
@@ -277,7 +282,7 @@ class Loader {
   size_t queue_cap_;
   uint64_t max_epochs_;  // 0 = infinite
   std::vector<std::thread> threads_;
-  std::atomic<uint64_t> next_shard_{0};
+  uint64_t next_shard_;           // next unclaimed index (guarded by mu_)
   std::set<uint64_t> in_flight_;  // claimed, not yet finished (guarded by mu_)
   size_t finished_workers_ = 0;
 
