@@ -343,24 +343,30 @@ def bench_paged_bandwidth():
     return useful / dt / 1e9
 
 
-def bench_serving_7b():
-    """Continuous-batching serving throughput on the FULL vicuna-7b config:
-    4 decode slots over one pooled paged KV cache (13.5 GB bf16 params +
-    1 GB pool on one chip). 8 requests through 4 slots; returns aggregate
-    generated tokens/s (the reference serves one request at a time per
-    worker, model_worker.py:30)."""
+def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4):
+    """Continuous-batching serving on the FULL vicuna-7b config over the
+    PALLAS paged-decode path: scan_layers stacks the per-layer paged caches
+    (L, pages, page, hkv*d) so ONE paged-attention kernel instance serves
+    all 32 layers (per-layer instances cost ~12 s each in the AOT helper —
+    the round-2 reason serving fell back to MERLIN_PAGED_DECODE=xla).
+
+    Honest workload: mixed prompt lengths (3 prefill buckets), real
+    eos_id=2, per-request max_new_tokens spread, and a final page-pressure
+    phase sized so the pool (num_slots*pages_per_slot - 1 trash page)
+    cannot hold every slot at max_len — preemption must fire. Records
+    p50/p95 inter-token latency as USER-VISIBLE arrival gaps (the pipeline
+    syncs tokens in batches — that cadence is the product behavior) and
+    the decode tokens wasted by pipelined EOS/length-stop lag.
+
+    Returns a dict of metrics (the reference serves one request at a time
+    per worker, model_worker.py:30)."""
     import dataclasses
-    import os
     from merlin_tpu.models.decoder import CausalLM
     from merlin_tpu.models.families import vicuna_7b
     from merlin_tpu.serve.engine import ServingEngine
 
-    # 32 per-layer Pallas kernel instances cost ~6 min of AOT compile per
-    # decode signature; at 7B the step is parameter-bound and the XLA
-    # paged path costs ~1 ms/step more, so trade kernels for compile time
-    os.environ["MERLIN_PAGED_DECODE"] = "xla"
-
-    cfg = dataclasses.replace(vicuna_7b(), dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(vicuna_7b(), dtype=jnp.bfloat16,
+                              scan_layers=True)
     model = CausalLM(cfg)
     params = materialize_bf16_params(model, jnp.zeros((1, 8), jnp.int32))
     jax.block_until_ready(params)
@@ -370,21 +376,85 @@ def bench_serving_7b():
     # chip; the donated single-step path fits with max_len 512
     # pipeline=8: token recording syncs in batches of ~8 steps (one ~45ms
     # tunnel round trip per batch instead of per step)
-    eng = ServingEngine(model, params, num_slots=4, max_len=512,
-                        eos_id=-1, pad_id=0, prompt_bucket=128,
-                        page_size=128, chunk_steps=1, pipeline=8)
-    rng = np.random.default_rng(0)
-    prompt = lambda: rng.integers(10, 31000, size=120).astype(np.int32)
-    # warmup: compiles prefill bucket + decode chunk
-    eng.submit(prompt(), max_new_tokens=17)
-    eng.run_until_idle()
+    eng = ServingEngine(model, params, num_slots=num_slots, max_len=512,
+                        eos_id=2, pad_id=0, prompt_bucket=128,
+                        page_size=128, chunk_steps=1, pipeline=8,
+                        cache_dtype=cache_dtype)
+    preempts = []
+    orig_preempt = eng._preempt_youngest
+    eng._preempt_youngest = lambda exclude: (preempts.append(exclude),
+                                             orig_preempt(exclude))[1]
+    dispatched = [0]
+    orig_step = eng.step
 
-    reqs = [eng.submit(prompt(), max_new_tokens=96) for _ in range(8)]
+    def counting_step():
+        n = orig_step()
+        dispatched[0] += n * eng.chunk_steps
+        return n
+
+    eng.step = counting_step
+
+    rng = np.random.default_rng(0)
+    prompt = lambda n: rng.integers(10, 31000, size=n).astype(np.int32)
+    # warmup: compile every prefill bucket used below + the decode step
+    for n in (120, 250, 350, 500):
+        eng.submit(prompt(n), max_new_tokens=9)
+    eng.run_until_idle()
+    dispatched[0] = 0
+
+    arrivals = {}   # req id -> (submit_time, [arrival times])
+
+    def submit(ids, max_new):
+        rec = (time.perf_counter(), [])
+        r = eng.submit(
+            ids, max_new_tokens=max_new,
+            emit=lambda tok, done: rec[1].append(time.perf_counter()))
+        arrivals[r.req_id] = rec
+        return r
+
+    # phase 1 — throughput: 12 mixed requests through the slots
+    mix = [(90, 64), (120, 96), (250, 128), (140, 48), (300, 160),
+           (100, 96), (180, 80), (260, 128), (130, 64), (110, 96),
+           (220, 112), (350, 72)]
     t0 = time.perf_counter()
+    reqs = [submit(prompt(n), m) for n, m in mix]
     eng.run_until_idle()
     dt = time.perf_counter() - t0
     tokens = sum(len(r.generated) for r in reqs)
-    return tokens / dt
+
+    # phase 2 — page pressure: every slot pushed toward max_len at once;
+    # the pool is one page short of holding them all -> preemption
+    press = [submit(prompt(300), 220) for _ in range(num_slots)]
+    eng.run_until_idle()
+    press_tokens = sum(len(r.generated) for r in press)
+
+    gaps = []
+    ttfts = []
+    for rid, (t_sub, times) in arrivals.items():
+        if times:
+            ttfts.append(times[0] - t_sub)
+            gaps.extend(np.diff(times))
+    gaps = np.sort(np.asarray(gaps)) if gaps else np.asarray([0.0])
+    # every admission records one token straight from the prefill logits
+    # (not a decode-step dispatch); each preemption leads to one extra
+    # re-admission of the victim
+    admissions = len(mix) + num_slots + len(preempts)
+    decode_recorded = tokens + press_tokens - admissions
+    wasted = dispatched[0] - decode_recorded
+    return {
+        "tokens_per_sec": tokens / dt,
+        "p50_inter_token_ms": float(gaps[len(gaps) // 2]) * 1e3,
+        "p95_inter_token_ms": float(gaps[int(len(gaps) * 0.95)]) * 1e3,
+        "p50_ttft_under_load_ms": float(np.median(ttfts)) * 1e3,
+        "preemptions": len(preempts),
+        # decode steps dispatched for slots whose request had already
+        # finished or was later preempted (pipeline EOS/length-stop lag +
+        # recompute): dispatched counts every active slot-step, while
+        # decode_recorded counts only tokens that reached a request
+        "wasted_decode_tokens": int(wasted),
+        "wasted_decode_frac": round(
+            max(int(wasted), 0) / max(dispatched[0], 1), 4),
+    }
 
 
 def main():
@@ -425,12 +495,27 @@ def main():
         ("train_multimodal", lambda: (lambda r: details.update(
             train_tokens_per_sec_multimodal=round(r[0]),
             train_mfu_multimodal=round(r[1], 3)))(bench_train_multimodal())),
-        # LAST: its 32-layer paged decode chunk is the slowest compile
-        # (~10+ min through the AOT helper); a driver timeout here must
-        # not starve the sections above
-        ("serving", lambda: details.update(
+        # serving LAST: largest params + several prefill-bucket compiles;
+        # a driver timeout here must not starve the sections above
+        ("serving", lambda: (lambda r: details.update(
             vicuna7b_serving_tokens_per_sec_4slots=round(
-                bench_serving_7b(), 1))),
+                r["tokens_per_sec"], 1),
+            serving_p50_inter_token_ms=round(r["p50_inter_token_ms"], 1),
+            serving_p95_inter_token_ms=round(r["p95_inter_token_ms"], 1),
+            serving_p50_ttft_under_load_ms=round(
+                r["p50_ttft_under_load_ms"], 1),
+            serving_preemptions=r["preemptions"],
+            serving_wasted_decode_frac=r["wasted_decode_frac"]))(
+            bench_serving_7b())),
+        # int8 KV pages at 7B (un-gated by the scanned decode): half the
+        # cache bandwidth/memory -> 6 slots in the freed space
+        ("serving_int8", lambda: (lambda r: details.update(
+            vicuna7b_serving_int8_tokens_per_sec_6slots=round(
+                r["tokens_per_sec"], 1),
+            serving_int8_p95_inter_token_ms=round(
+                r["p95_inter_token_ms"], 1),
+            serving_int8_preemptions=r["preemptions"]))(
+            bench_serving_7b(cache_dtype=jnp.int8, num_slots=6))),
     ]:
         try:
             fn()

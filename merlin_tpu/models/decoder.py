@@ -94,7 +94,8 @@ class DecoderConfig:
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16, *, layout: str = "dense",
-                  page_size: int = 128) -> Dict[str, Any]:
+                  page_size: int = 128,
+                  stacked: Optional[bool] = None) -> Dict[str, Any]:
     """Functional KV cache pytree.
 
     ``layout='dense'``: contiguous (b, max_len) buffers; ``seg`` carries
@@ -108,7 +109,24 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
     needs no shared cursor. ``dtype=jnp.int8`` quantizes the pages
     (per-token-per-head absmax scales ride along as ``k/v_scales``) —
     half the cache memory and page bandwidth.
+
+    ``stacked`` (default: ``cfg.scan_layers``): ``layers`` is ONE dict of
+    arrays with a leading layer axis instead of a tuple of per-layer
+    dicts. Required by the scanned decode path: the layer stack runs
+    under ``lax.scan``, so every Pallas kernel inside (paged attention,
+    flash prefill) is traced and compiled ONCE regardless of depth — at
+    7B this turns a ~6-minute 32-instance AOT compile into one instance.
     """
+    if stacked is None:
+        stacked = cfg.scan_layers
+    L = cfg.num_layers
+
+    def assemble(layer_fn):
+        if stacked:
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (L,) + x.shape), layer_fn())
+        return tuple(layer_fn() for _ in range(L))
+
     if layout == "paged":
         pps = -(-max_len // page_size)
         total = batch * pps
@@ -132,7 +150,7 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
 
         tables = jnp.arange(total, dtype=jnp.int32).reshape(batch, pps)
         return {
-            "layers": tuple(layer() for _ in range(cfg.num_layers)),
+            "layers": assemble(layer),
             "page_tables": tables,
             "lengths": jnp.zeros((batch,), jnp.int32),
             "index": jnp.zeros((), jnp.int32),
@@ -142,7 +160,7 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
         "v": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_size), dtype),
     }
     return {
-        "layers": tuple(layer() for _ in range(cfg.num_layers)),
+        "layers": assemble(layer),
         "seg": jnp.zeros((batch, max_len), jnp.int32),
         # true token position per slot (slots != positions for ragged
         # decode after padded/bucketed prefill; ALiBi needs the truth)
@@ -366,15 +384,17 @@ class DecoderBlock(nn.Module):
 
 class _BlockForScan(nn.Module):
     """DecoderBlock adapted to nn.scan's (carry, ...) -> (carry, out)
-    calling convention (train/prefill-free path: no per-layer cache)."""
+    calling convention. ``layer_cache`` rides the scan axis (a slice of a
+    stacked KV cache — see ``init_kv_cache(stacked=True)``) for the
+    decode/prefill path; it is None in training, where no cache exists."""
 
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, positions, segment_ids):
-        x, _, _ = DecoderBlock(self.cfg, name="block")(
-            x, positions, segment_ids, None, None)
-        return x, None
+    def __call__(self, x, positions, segment_ids, cache_aux, layer_cache):
+        x, new_cache, _ = DecoderBlock(self.cfg, name="block")(
+            x, positions, segment_ids, layer_cache, cache_aux)
+        return x, new_cache
 
 
 class CausalLM(nn.Module):
@@ -398,9 +418,12 @@ class CausalLM(nn.Module):
             # inside) is traced and compiled ONCE regardless of depth.
             # Measured on this env's AOT helper, each Pallas kernel
             # instance costs ~12 s to compile, so a 32-layer graph saves
-            # minutes per jit signature. Training-path only: the KV-cache
-            # layers tuple is not stacked (use convert.unstack_layer_params
-            # to serve a scan-trained checkpoint with the loop decoder).
+            # minutes per jit signature. Decode scans too: a STACKED KV
+            # cache (init_kv_cache(stacked=True)) rides the scan axis, so
+            # 7B paged serving compiles one paged-attention instance
+            # instead of 32 (use convert.stack_layer_params to serve a
+            # loop-trained checkpoint with the scan decoder and vice
+            # versa).
             wrapped = _BlockForScan
             if cfg.remat:
                 wrapped = nn.remat(
@@ -410,7 +433,7 @@ class CausalLM(nn.Module):
                 wrapped,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0),
                 length=cfg.num_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(cfg, name="layers")
@@ -470,40 +493,38 @@ class CausalLM(nn.Module):
         if cfg.positional == "learned":
             x = x + self.embed_positions(positions + 2)
 
-        if cfg.scan_layers:
-            assert kv_cache is None, (
-                "scan_layers is a training-path option; decode with the "
-                "loop decoder (convert.unstack_layer_params for weights)")
-            x, _ = self.blocks_scanned(x, positions, segment_ids)
-            if cfg.final_norm:
-                x = self.final_norm_layer(x)
-            logits = self.compute_logits(x)
-            if return_hidden:
-                return logits, None, x
-            return logits, None
-
         cache_aux = None
         if kv_cache is not None:
             cache_aux = {k_: v_ for k_, v_ in kv_cache.items()
                          if k_ != "layers"}
-        new_layers = []
-        new_aux = {k_: v_ for k_, v_ in (cache_aux or {}).items()
-                   if k_ in ("seg", "pos")} or None
-        for i, blk in enumerate(self.blocks):
-            layer_cache = kv_cache["layers"][i] if kv_cache is not None else None
-            x, layer_new, aux_new = blk(
-                x, positions, segment_ids, layer_cache, cache_aux)
-            if kv_cache is not None:
-                new_layers.append(layer_new)
-                if aux_new is not None:
-                    new_aux = aux_new
+
+        if cfg.scan_layers:
+            if kv_cache is not None and not isinstance(
+                    kv_cache["layers"], dict):
+                raise ValueError(
+                    "scan_layers decode needs a STACKED KV cache "
+                    "(init_kv_cache(stacked=True)): the per-layer slices "
+                    "ride the scan axis")
+            layers_in = kv_cache["layers"] if kv_cache is not None else None
+            x, new_layers = self.blocks_scanned(
+                x, positions, segment_ids, cache_aux, layers_in)
+        else:
+            new_layers = []
+            for i, blk in enumerate(self.blocks):
+                layer_cache = (kv_cache["layers"][i]
+                               if kv_cache is not None else None)
+                x, layer_new, _ = blk(
+                    x, positions, segment_ids, layer_cache, cache_aux)
+                if kv_cache is not None:
+                    new_layers.append(layer_new)
+            new_layers = tuple(new_layers)
         if cfg.final_norm:
             x = self.final_norm_layer(x)
         logits = self.compute_logits(x)
 
         new_cache = None
         if kv_cache is not None:
-            new_cache = {"layers": tuple(new_layers),
+            new_cache = {"layers": new_layers,
                          "index": kv_cache["index"] + s}
             if "page_tables" in kv_cache:
                 new_cache["page_tables"] = kv_cache["page_tables"]
@@ -516,8 +537,18 @@ class CausalLM(nn.Module):
                     new_cache["lengths"] = jnp.full(
                         (b,), s, jnp.int32)
             else:
-                new_cache["seg"] = new_aux["seg"]
-                new_cache["pos"] = new_aux["pos"]
+                # validity/position bookkeeping is layer-independent:
+                # computed once here for the returned cache (every layer's
+                # Attention derives the same update internally for its own
+                # masking; XLA CSEs the duplicates)
+                idx = kv_cache["index"]
+                seg_in = (segment_ids if segment_ids is not None
+                          else jnp.ones((b, s), jnp.int32))
+                new_cache["seg"] = jax.lax.dynamic_update_slice_in_dim(
+                    kv_cache["seg"], seg_in, idx, axis=1)
+                new_cache["pos"] = jax.lax.dynamic_update_slice_in_dim(
+                    kv_cache["pos"], positions.astype(jnp.int32), idx,
+                    axis=1)
         if return_hidden:
             return logits, new_cache, x
         return logits, new_cache

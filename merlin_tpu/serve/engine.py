@@ -92,7 +92,11 @@ class ServingEngine:
                                    dtype=cache_dtype, layout="paged",
                                    page_size=page_size)
         self.pages_per_slot = self.cache["page_tables"].shape[1]
-        total_pages = self.cache["layers"][0]["k_pages"].shape[0]
+        layers = self.cache["layers"]
+        self._stacked = isinstance(layers, dict)
+        kp = layers["k_pages"] if self._stacked else layers[0]["k_pages"]
+        self._cache_dtype = kp.dtype
+        total_pages = kp.shape[1] if self._stacked else kp.shape[0]
         self.pool = PagePool(total_pages, page_size, self.pages_per_slot)
         self.pool.allocate(_TRASH, 1)   # pins physical page 0
         # host mirror of the device page tables; rows of zeros alias the
@@ -133,15 +137,24 @@ class ServingEngine:
 
             ``phys``: (n_small_pages,) physical page ids from the pool —
             arbitrary, not contiguous. Pages are head-packed
-            (P, page, hkv*d), so each page is one contiguous row block."""
-            def put(big, small):
-                return big.at[phys].set(small.astype(big.dtype))
+            (P, page, hkv*d), so each page is one contiguous row block.
+            Handles both cache forms: a tuple of per-layer dicts (loop
+            decoder) and one dict of (L, P, ...) stacked arrays (scanned
+            decoder — the pages axis is axis 1 there)."""
+            def put(big, small, axis):
+                if axis == 0:
+                    return big.at[phys].set(small.astype(big.dtype))
+                return big.at[:, phys].set(small.astype(big.dtype))
 
             # generic over the layer dict: k/v_pages (+ k/v_scales for
             # int8 caches) all scatter along the pages axis
-            new_layers = tuple(
-                {kk: put(bl[kk], sl[kk]) for kk in bl}
-                for bl, sl in zip(big_layers, small_layers))
+            if isinstance(big_layers, dict):
+                new_layers = {kk: put(big_layers[kk], small_layers[kk], 1)
+                              for kk in big_layers}
+            else:
+                new_layers = tuple(
+                    {kk: put(bl[kk], sl[kk], 0) for kk in bl}
+                    for bl, sl in zip(big_layers, small_layers))
             lengths = lengths.at[slot].set(small_lengths[0])
             return new_layers, lengths
 
@@ -236,8 +249,7 @@ class ServingEngine:
             mask = jnp.asarray(ids != self.pad_id)
             small = init_kv_cache(
                 self.lm_cfg, 1, max_len=ids.shape[1], layout="paged",
-                page_size=self.page_size,
-                dtype=self.cache["layers"][0]["k_pages"].dtype)
+                page_size=self.page_size, dtype=self._cache_dtype)
             next_logits, small, length = self._prefill(
                 self.params, jnp.asarray(ids), mask, small)
             self.cache["layers"], self.cache["lengths"] = self._insert(

@@ -111,13 +111,61 @@ def test_scan_layers_trains_on_sharded_mesh():
         set_global_mesh(None)
 
 
-def test_scan_layers_rejects_kv_cache():
+def test_scan_layers_rejects_unstacked_cache():
     from merlin_tpu.models.decoder import init_kv_cache
 
     cfg = dataclasses.replace(tiny(), scan_layers=True)
     model = CausalLM(cfg)
     ids = jnp.ones((1, 8), jnp.int32)
     p = nn.unbox(model.init(jax.random.key(0), ids)["params"])
-    cache = init_kv_cache(tiny(), 1, max_len=16)
-    with pytest.raises(AssertionError):
+    cache = init_kv_cache(tiny(), 1, max_len=16, stacked=False)
+    with pytest.raises(ValueError, match="STACKED"):
         model.apply({"params": p}, ids, kv_cache=cache)
+
+
+@pytest.mark.parametrize("layout", ["dense", "paged"])
+def test_scan_decode_matches_loop(layout):
+    """Scanned decode over a STACKED KV cache (the 7B serving path: one
+    paged-attention kernel instance for the whole stack) must match the
+    loop decoder token-for-token: prefill + several decode steps."""
+    from merlin_tpu.models.decoder import init_kv_cache
+
+    cfg = tiny()
+    rng = np.random.default_rng(1)
+    b, s, steps = 2, 12, 5
+    ids = jnp.asarray(rng.integers(3, 90, (b, s)), jnp.int32)
+    mask = np.ones((b, s), np.int32)
+    mask[1, 9:] = 0   # ragged prompt
+    mask = jnp.asarray(mask)
+
+    loop = CausalLM(cfg)
+    p_loop = _params(loop, ids)
+    scan = CausalLM(dataclasses.replace(cfg, scan_layers=True))
+    p_scan = stack_layer_params(dict(p_loop), cfg.num_layers)
+
+    def run(model, params, stacked):
+        cache = init_kv_cache(cfg, b, max_len=s + steps, layout=layout,
+                              stacked=stacked)
+        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        logits, cache = model.apply(
+            {"params": params}, ids, segment_ids=mask, positions=positions,
+            kv_cache=cache)
+        lengths = mask.sum(axis=1).astype(jnp.int32)
+        nxt = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+        toks = [jnp.argmax(nxt, axis=-1).astype(jnp.int32)]
+        pos = lengths
+        for _ in range(steps - 1):
+            if layout == "paged":
+                pos = cache["lengths"]
+            logits, cache = model.apply(
+                {"params": params}, toks[-1][:, None],
+                positions=pos[:, None], kv_cache=cache)
+            if layout == "dense":
+                pos = pos + 1
+            toks.append(jnp.argmax(logits[:, 0], -1).astype(jnp.int32))
+        return np.stack([np.asarray(t) for t in toks], 1)
+
+    out_loop = run(loop, p_loop, stacked=False)
+    out_scan = run(scan, p_scan, stacked=True)
+    np.testing.assert_array_equal(out_scan, out_loop)

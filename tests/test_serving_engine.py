@@ -106,6 +106,49 @@ def test_engine_int8_cache_matches_int8_generator(model_params):
         assert req.generated == expected, (prompt, req.generated, expected)
 
 
+def test_engine_scan_decoder_matches_loop(model_params):
+    """The engine over a scan_layers model + STACKED paged cache (the 7B
+    serving configuration: one paged-kernel instance for the whole stack)
+    produces exactly the loop-decoder engine's tokens."""
+    import dataclasses
+    from merlin_tpu.models.convert import stack_layer_params
+    from merlin_tpu.models.families import tiny as tiny_cfg
+
+    model, params = model_params
+    scan_model = CausalLM(dataclasses.replace(tiny_cfg(), scan_layers=True))
+    scan_params = stack_layer_params(dict(params),
+                                     tiny_cfg().num_layers)
+    engine = ServingEngine(scan_model, scan_params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.float32,
+                           chunk_steps=4)
+    assert engine._stacked
+    prompts = [[5, 17, 33, 41], [7, 9, 11], [21, 22], [3, 4, 5, 6, 8]]
+    reqs = [engine.submit(p, max_new_tokens=6) for p in prompts]
+    engine.run_until_idle()
+    for req, prompt in zip(reqs, prompts):
+        assert req.done
+        expected = _reference(model, params, prompt, 6)
+        assert req.generated == expected, (prompt, req.generated, expected)
+
+
+def test_engine_oversized_prompt_fails_request_only(model_params):
+    """A prompt that can never fit a slot fails that request (error set,
+    emit fired with done) while the engine keeps serving others."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.float32)
+    events = []
+    big = engine.submit(list(range(5, 5 + 200)), max_new_tokens=4,
+                        emit=lambda t, d: events.append((t, d)))
+    ok = engine.submit([5, 17, 33, 41], max_new_tokens=6)
+    engine.run_until_idle()
+    assert big.done and big.error and "pages_per_seq" in big.error
+    assert events == [(PAD, True)]
+    assert ok.generated == _reference(model, params, [5, 17, 33, 41], 6)
+
+
 def test_engine_preemption_recovers(model_params):
     """When the page pool can't grow a sequence, the youngest other request
     is preempted (pages released, recompute-requeued) and BOTH requests
