@@ -220,7 +220,14 @@ def init_or_load_params(bundle: ModelBundle, *, rng: Optional[jax.Array] = None,
 
 def _projector_params_from_torch(sd: Dict[str, np.ndarray],
                                  cfg: MMGPTConfig) -> Dict[str, Any]:
-    """Map reference projector state dicts to flax projector params."""
+    """Map reference projector state dicts to flax projector params.
+
+    Covers every projector kind the reference prefix-loads from composite
+    checkpoints (base_projector.py:12-48): conv/mlp, the bare-matmul QWen
+    projector (qwen_projector.py:15), the SAM conv stack
+    (sam_projector.py:12-38), and the QWenSampler Resampler
+    (qwen_sampler_projector.py:22-31, keys attn_pool.* + ln_post + proj).
+    """
     from merlin_tpu.models.convert import _np
 
     sd = {k: _np(v) for k, v in sd.items()}
@@ -231,5 +238,29 @@ def _projector_params_from_torch(sd: Dict[str, np.ndarray],
         return {"proj": {"kernel": sd["projector.weight"].T
                          if "projector.weight" in sd else sd["proj.weight"].T,
                          "bias": sd.get("projector.bias", sd.get("proj.bias"))}}
+    if cfg.projector == "qwen":
+        # reference: self.projector = nn.Parameter (vision_hidden, lm_hidden)
+        # applied as feature @ projector — same orientation as our param
+        return {"proj": sd["projector"]}
+    if cfg.projector == "sam":
+        # nn.Sequential of two bias-free convs ("projector.0/1.weight",
+        # torch (out,in,kh,kw) -> flax (kh,kw,in,out)) + "mlp" linear
+        return {
+            "conv1": {"kernel": sd["projector.0.weight"].transpose(2, 3, 1, 0)},
+            "conv2": {"kernel": sd["projector.1.weight"].transpose(2, 3, 1, 0)},
+            "proj": {"kernel": sd["mlp.weight"].T, "bias": sd["mlp.bias"]},
+        }
+    if cfg.projector in ("qwen_sampler", "resampler"):
+        from merlin_tpu.models.projectors import (
+            default_resampler_heads, resampler_params_from_torch)
+
+        # attention width from the packed in_proj (3E, E); heads per the
+        # reference formula (must match build_projector's choice)
+        key = ("attn_pool.attn.in_proj_weight"
+               if "attn_pool.attn.in_proj_weight" in sd
+               else "attn.in_proj_weight")
+        dim = sd[key].shape[1]
+        return resampler_params_from_torch(
+            sd, dim=dim, num_heads=default_resampler_heads(dim))
     raise NotImplementedError(
         f"torch import for projector {cfg.projector!r} not implemented")

@@ -93,9 +93,15 @@ class MMGPT(nn.Module):
         self.vision_tower = build_vision_tower(
             cfg.vision_kind, cfg.vit, select_layer=cfg.select_layer,
             select_feature=cfg.select_feature, name="vision_tower")
+        # resampler kinds attend at the VISION width (the reference builds
+        # Resampler(embed_dim=vision_hidden_size) and only its final proj
+        # maps to the LM width, qwen_sampler_projector.py:22-31)
+        embed_dim = (getattr(cfg.vit, "hidden_size", None)
+                     if cfg.projector in ("qwen_sampler", "resampler")
+                     else None)
         self.projector = build_projector(
             cfg.projector, cfg.lm.hidden_size, conv_stride=cfg.conv_stride,
-            dtype=cfg.lm.dtype, name="projector")
+            dtype=cfg.lm.dtype, embed_dim=embed_dim, name="projector")
         self.lm = CausalLM(cfg.lm, name="lm")
 
     def encode_images(self, images: jax.Array) -> jax.Array:

@@ -82,8 +82,9 @@ class QWenProjector(nn.Module):
 
 
 class SAMProjector(nn.Module):
-    """Two stride-2 3x3 convs (C->2C->4C) then linear to the LM width
-    (sam_projector.py:12-30)."""
+    """Two stride-2 3x3 convs (C->2C->4C, no bias, NO activation between —
+    the reference stacks bare Conv2d's) then linear to the LM width
+    (sam_projector.py:12-38)."""
 
     out_features: int
     dtype: Any = jnp.bfloat16
@@ -95,9 +96,9 @@ class SAMProjector(nn.Module):
         grid = x.reshape(b, side, side, c).astype(self.dtype)
         for i, ch in enumerate((2 * c, 4 * c)):
             grid = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                           use_bias=False,
                            dtype=self.dtype, param_dtype=jnp.float32,
                            name=f"conv{i + 1}")(grid)
-            grid = nn.gelu(grid)
         flat = grid.reshape(b, -1, grid.shape[-1])
         return DenseGeneral((self.out_features,),
                             kernel_axes=("vit_embed", "embed"), use_bias=True,
@@ -122,17 +123,32 @@ class Resampler(nn.Module):
     """Perceiver resampler: ``num_queries`` learnable queries cross-attend
     the vision features once (Qwen-VL style, qwen_nosampler_encoder.py:97-165).
     Output is always (b, num_queries, out_features) regardless of input P.
+
+    ``pos_embed`` is a REAL parameter (sincos-initialized on the query
+    grid) exactly like the reference's — it declares it trainable "for
+    hacking fsdp" (qwen_nosampler_encoder.py:117-123), so converted
+    checkpoints must carry whatever values it holds. Its use is detached
+    in the reference forward (``.detach()``, :155-162) — mirrored here
+    with stop_gradient — and keys see it bicubic-interpolated to the key
+    grid (``get_abs_pos``, :28-44).
     """
 
     out_features: int
     num_queries: int = 256
     num_heads: int = 16
+    # attention width; the reference runs the resampler at the VISION
+    # width and only the final ``proj`` maps to the LM width
+    # (qwen_sampler_projector.py:22-31: Resampler(embed_dim=vision_hidden)
+    # then proj (vision_hidden, lm_hidden)). Default: out_features.
+    embed_dim: Optional[int] = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        import jax
+
         b, p, c = x.shape
-        dim = self.out_features
+        dim = self.embed_dim or self.out_features
         h = self.num_heads
         d = dim // h
 
@@ -142,24 +158,42 @@ class Resampler(nn.Module):
                 nn.initializers.truncated_normal(0.02), ("vit_patches", "embed")),
             (self.num_queries, dim), jnp.float32)
 
+        def sincos_init(key, shape, dtype=jnp.float32):
+            side = int(math.isqrt(shape[0]))
+            if side * side == shape[0]:
+                return jnp.asarray(_sincos_2d_pos_embed(shape[1], side), dtype)
+            return jnp.zeros(shape, dtype)
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.with_logical_partitioning(
+                sincos_init, ("vit_patches", "embed")),
+            (self.num_queries, dim), jnp.float32)
+
         kv_in = DenseGeneral((dim,), kernel_axes=("vit_embed", "embed"),
                              use_bias=False, dtype=self.dtype, name="kv_proj")(x)
         kv_in = LayerNorm(dtype=self.dtype, name="ln_kv")(kv_in)
         q_in = LayerNorm(dtype=self.dtype, name="ln_q")(
             jnp.broadcast_to(queries.astype(self.dtype), (b,) + queries.shape))
 
-        # 2D sin-cos positions on queries and KEYS only — the reference
-        # calls attn(q+pos, x+pos, x): values see raw x
-        # (qwen_nosampler_encoder.py:155-162)
+        # positions on queries and KEYS only — the reference calls
+        # attn(q+pos, x+get_abs_pos(pos), x): values see raw x, and both
+        # uses are detached (qwen_nosampler_encoder.py:155-162)
+        pe = jax.lax.stop_gradient(pos_embed)
+        q_in = q_in + pe[None].astype(self.dtype)
         k_in = kv_in
         side = int(math.isqrt(p))
-        if side * side == p:
-            pos_k = jnp.asarray(_sincos_2d_pos_embed(dim, side))
-            k_in = kv_in + pos_k[None].astype(self.dtype)
         qside = int(math.isqrt(self.num_queries))
-        if qside * qside == self.num_queries:
-            pos_q = jnp.asarray(_sincos_2d_pos_embed(dim, qside))
-            q_in = q_in + pos_q[None].astype(self.dtype)
+        if side * side == p and qside * qside == self.num_queries:
+            if p == self.num_queries:
+                pos_k = pe
+            else:
+                # get_abs_pos: bicubic-resize the query-grid table to the
+                # key grid (qwen_nosampler_encoder.py:28-44)
+                pos_k = jax.image.resize(
+                    pe.reshape(qside, qside, dim), (side, side, dim),
+                    method="bicubic").reshape(p, dim)
+            k_in = kv_in + pos_k[None].astype(self.dtype)
 
         q = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
                          use_bias=True, dtype=self.dtype, name="q_attn")(q_in)
@@ -176,7 +210,7 @@ class Resampler(nn.Module):
             "proj",
             nn.with_logical_partitioning(
                 nn.initializers.normal(0.02), ("embed", "embed")),
-            (dim, dim), jnp.float32)
+            (dim, self.out_features), jnp.float32)
         return jnp.einsum("bqd,de->bqe", out.astype(self.dtype),
                           proj.astype(self.dtype)).astype(self.dtype)
 
@@ -188,12 +222,14 @@ def resampler_params_from_torch(state_dict, *, dim: int,
     Source: qwen_nosampler_encoder.py:97-165. Its ``attn`` is a standard
     ``nn.MultiheadAttention`` whose in_proj packs [all-q; all-k; all-v]
     blocks (NOT the per-head interleave of the tower's VisualAttention).
-    The reference's learnable ``pos_embed`` is initialized to — and
-    semantically is — the 2D sincos table our Resampler recomputes on the
-    fly, so it has no target parameter here. Official Qwen-VL visual
-    checkpoints carry ``ln_post``/``proj`` after the attn_pool (the
-    reference commented its own copies out, :384-387); they are mapped
-    when present, else left at fresh initialization.
+    The reference's ``pos_embed`` is a LEARNABLE parameter (declared
+    trainable "for hacking fsdp", :117-123) sincos-initialized on the
+    query grid — a trained checkpoint may carry non-sincos values, so it
+    maps to our real ``pos_embed`` parameter bit-exact (sincos init only
+    when the key is absent). Official Qwen-VL visual checkpoints carry
+    ``ln_post``/``proj`` after the attn_pool (the reference commented its
+    own copies out, :384-387); they are mapped when present, else left at
+    fresh initialization.
     """
     from merlin_tpu.models.convert import _np
 
@@ -213,6 +249,18 @@ def resampler_params_from_torch(state_dict, *, dim: int,
     p = {
         "query": key("query"),
         "kv_proj": {"kernel": key("kv_proj.weight").T},
+    }
+    try:
+        p["pos_embed"] = key("pos_embed")
+    except KeyError:
+        # absent in some exports: recreate the sincos table the reference
+        # initializes with (the param must exist in the flax tree)
+        nq = p["query"].shape[0]
+        side = int(math.isqrt(nq))
+        p["pos_embed"] = (_sincos_2d_pos_embed(dim, side)
+                          if side * side == nq
+                          else np.zeros((nq, dim), np.float32))
+    p.update({
         "ln_q": {"scale": key("ln_q.weight"), "bias": key("ln_q.bias")},
         "ln_kv": {"scale": key("ln_kv.weight"), "bias": key("ln_kv.bias")},
         "q_attn": {"kernel": wq.T.reshape(dim, h, d), "bias": bq.reshape(h, d)},
@@ -220,7 +268,7 @@ def resampler_params_from_torch(state_dict, *, dim: int,
         "v_attn": {"kernel": wv.T.reshape(dim, h, d), "bias": bv.reshape(h, d)},
         "out_attn": {"kernel": key("attn.out_proj.weight").T.reshape(h, d, dim),
                      "bias": key("attn.out_proj.bias")},
-    }
+    })
     for src, dst in (("ln_post.weight", ("ln_post", "scale")),
                      ("ln_post.bias", ("ln_post", "bias"))):
         try:
@@ -245,12 +293,32 @@ PROJECTOR_KINDS = {
 }
 
 
+def default_resampler_heads(embed_dim: int) -> int:
+    """Reference head count: vision_hidden // 128
+    (qwen_sampler_projector.py:26); small test widths fall back to an
+    8-wide head."""
+    if embed_dim % 128 == 0:
+        return embed_dim // 128
+    return max(1, embed_dim // 8)
+
+
 def build_projector(kind: str, out_features: int, *, conv_stride: int = 2,
-                    dtype=jnp.bfloat16, name: str = "projector"):
-    """Reference build_projector dispatch (model/projector/builder.py:8)."""
+                    dtype=jnp.bfloat16, name: str = "projector",
+                    embed_dim: Optional[int] = None,
+                    num_heads: Optional[int] = None):
+    """Reference build_projector dispatch (model/projector/builder.py:8).
+
+    ``embed_dim``/``num_heads`` apply to the resampler kinds only: the
+    attention runs at the VISION width (reference passes
+    vision_hidden_size) with vision_hidden//128 heads."""
     if kind in ("conv",):
         return ConvProjector(out_features, conv_stride=conv_stride,
                              dtype=dtype, name=name)
+    if kind in ("qwen_sampler", "resampler"):
+        dim = embed_dim or out_features
+        return Resampler(out_features, embed_dim=embed_dim,
+                         num_heads=num_heads or default_resampler_heads(dim),
+                         dtype=dtype, name=name)
     if kind not in PROJECTOR_KINDS:
         raise ValueError(f"unknown projector kind {kind!r}; "
                          f"one of {sorted(PROJECTOR_KINDS)}")

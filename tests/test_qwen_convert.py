@@ -168,3 +168,77 @@ def test_resampler_converter_parity():
                       dtype=jnp.float32)
     ours = model.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=1e-3)
+
+
+def test_resampler_trained_pos_embed_survives_conversion():
+    """The reference's pos_embed is a LEARNABLE parameter
+    (qwen_nosampler_encoder.py:117-123): a trained checkpoint can hold
+    non-sincos values and they must survive conversion BIT-EXACT and be
+    used by the forward (VERDICT r2 #3)."""
+    from merlin_tpu.models.projectors import (
+        Resampler, _sincos_2d_pos_embed, resampler_params_from_torch)
+
+    dim, heads, c_in, grid = 16, 2, 12, 4
+    nq = grid * grid
+    torch.manual_seed(2)
+
+    kv_proj = torch.nn.Linear(c_in, dim, bias=False)
+    ln_q = torch.nn.LayerNorm(dim)
+    ln_kv = torch.nn.LayerNorm(dim)
+    ln_post = torch.nn.LayerNorm(dim)
+    attn = torch.nn.MultiheadAttention(dim, heads)
+    query = torch.nn.Parameter(0.02 * torch.randn(nq, dim))
+    proj = torch.nn.Parameter(0.1 * torch.randn(dim, dim))
+    # "trained" pos_embed: sincos plus a visible perturbation
+    pos = torch.nn.Parameter(
+        torch.tensor(np.asarray(_sincos_2d_pos_embed(dim, grid), np.float32))
+        + 0.3 * torch.randn(nq, dim))
+
+    x = np.random.default_rng(3).normal(size=(2, nq, c_in)).astype(np.float32)
+    with torch.no_grad():
+        xt = ln_kv(kv_proj(torch.tensor(x))).permute(1, 0, 2)
+        n = xt.shape[1]
+        q = ln_q(query).unsqueeze(1).repeat(1, n, 1)
+        theirs = attn(q + pos.unsqueeze(1), xt + pos.unsqueeze(1), xt)[0]
+        theirs = (ln_post(theirs.permute(1, 0, 2)) @ proj).numpy()
+
+    sd = {"query": query, "pos_embed": pos, "kv_proj.weight": kv_proj.weight,
+          "ln_q.weight": ln_q.weight, "ln_q.bias": ln_q.bias,
+          "ln_kv.weight": ln_kv.weight, "ln_kv.bias": ln_kv.bias,
+          "ln_post.weight": ln_post.weight, "ln_post.bias": ln_post.bias,
+          "proj": proj,
+          "attn.in_proj_weight": attn.in_proj_weight,
+          "attn.in_proj_bias": attn.in_proj_bias,
+          "attn.out_proj.weight": attn.out_proj.weight,
+          "attn.out_proj.bias": attn.out_proj.bias}
+    params = resampler_params_from_torch(sd, dim=dim, num_heads=heads)
+    np.testing.assert_array_equal(params["pos_embed"],
+                                  pos.detach().numpy())  # bit-exact
+    model = Resampler(out_features=dim, num_queries=nq, num_heads=heads,
+                      dtype=jnp.float32)
+    ours = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                       jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=1e-3)
+
+
+def test_resampler_pos_embed_interpolates_to_key_grid():
+    """Keys on a different grid see the pos_embed bicubic-resized
+    (get_abs_pos, qwen_nosampler_encoder.py:28-44), not a freshly
+    computed table."""
+    from merlin_tpu.models.projectors import Resampler
+
+    dim, heads, c_in = 16, 2, 12
+    model = Resampler(out_features=dim, num_queries=16, num_heads=heads,
+                      dtype=jnp.float32)
+    x64 = jnp.asarray(np.random.default_rng(4).normal(size=(1, 64, c_in)),
+                      jnp.float32)
+    params = model.init(jax.random.key(0), x64)["params"]
+    from flax import linen as nn
+    params = nn.unbox(params)
+    out = model.apply({"params": params}, x64)
+    assert out.shape == (1, 16, dim)
+    # perturbing pos_embed must change the output (it feeds the keys)
+    params2 = dict(params)
+    params2["pos_embed"] = params["pos_embed"] + 1.0
+    out2 = model.apply({"params": params2}, x64)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
