@@ -94,7 +94,8 @@ class NativeTarStream:
 
     def __init__(self, shards: Sequence[str], *, seed: int = 3407,
                  queue_cap: int = 256, n_threads: int = 2,
-                 max_epochs: int = 0, start_index: int = 0):
+                 max_epochs: int = 0, start_index: int = 0,
+                 skip: Optional[Dict[int, int]] = None):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native loader unavailable")
@@ -107,39 +108,59 @@ class NativeTarStream:
                                        n_threads, max_epochs, start_index)
         if not self._handle:
             raise RuntimeError("mtl_open failed (empty shard list?)")
+        # sample-granular resume bookkeeping (consumer-thread only)
+        self._consumed: Dict[int, int] = {}
+        self._skip: Dict[int, int] = dict(skip or {})
 
-    # -- shard-granular resume cursor -----------------------------------
-    # The C++ loader streams shards on racing threads, so the sample order
-    # is non-deterministic; the honest resume unit is the shard. The
-    # position is the smallest shard index still being streamed: resuming
-    # there replays the in-flight shards and skips nothing. (For EXACT
-    # sample-level resume use the python-stage ResumableSampleStream via
-    # shard_sample_stream(resumable=True).)
+    # -- sample-granular resume cursor ----------------------------------
+    # Every sample carries its global shard index ("__shard__",
+    # tar_loader.cc push); per-shard delivery order is the tar order, so
+    # the cursor is (earliest unfinished shard S, samples consumed per
+    # shard >= S). Restoring reopens at S and skips exactly the consumed
+    # prefix of each partially-consumed shard: no sample is lost or
+    # replayed (multiset-exact with racing threads; bit-exact ORDER with
+    # n_threads=1). Cursor methods must run on the consumer thread.
     def get_state(self) -> Dict:
-        return {"shard_pos": int(self._lib.mtl_position(self._handle))}
+        pos = int(self._lib.mtl_position(self._handle))
+        consumed = {int(k): int(v) for k, v in self._consumed.items()
+                    if k >= pos and v > 0}
+        # prune fully-consumed history (< pos) so the cursor stays small
+        self._consumed = dict(consumed)
+        return {"shard_pos": pos, "consumed": consumed}
 
     @staticmethod
     def restore(shards: Sequence[str], state: Dict, **kwargs
                 ) -> "NativeTarStream":
+        skip = {int(k): int(v)
+                for k, v in (state.get("consumed") or {}).items()}
         return NativeTarStream(shards, start_index=int(state["shard_pos"]),
-                               **kwargs)
+                               skip=skip, **kwargs)
 
     def __iter__(self) -> Iterator[Dict[str, bytes]]:
         return self
 
     def __next__(self) -> Dict[str, bytes]:
-        n = ctypes.c_uint64()
-        ptr = self._lib.mtl_next(self._handle, ctypes.byref(n))
-        if not ptr or n.value == 0:
-            raise StopIteration
-        try:
-            raw = ctypes.string_at(ptr, n.value)
-        finally:
-            self._lib.mtl_free(ptr)
-        sample = _parse_sample(raw)
-        key = sample.pop("__key__", b"")
-        sample["__key__"] = key.decode(errors="replace")
-        return sample
+        while True:
+            n = ctypes.c_uint64()
+            ptr = self._lib.mtl_next(self._handle, ctypes.byref(n))
+            if not ptr or n.value == 0:
+                raise StopIteration
+            try:
+                raw = ctypes.string_at(ptr, n.value)
+            finally:
+                self._lib.mtl_free(ptr)
+            sample = _parse_sample(raw)
+            shard = int(sample.pop("__shard__", b"-1"))
+            if shard >= 0:
+                left = self._skip.get(shard, 0)
+                if left > 0:
+                    # consumed before the checkpoint: drop without counting
+                    self._skip[shard] = left - 1
+                    continue
+                self._consumed[shard] = self._consumed.get(shard, 0) + 1
+            key = sample.pop("__key__", b"")
+            sample["__key__"] = key.decode(errors="replace")
+            return sample
 
     def close(self):
         if getattr(self, "_handle", None):

@@ -147,11 +147,12 @@ class Loader {
       threads_.emplace_back([this] { worker(); });
   }
 
-  // Shard-granular resume cursor: the smallest shard index any worker has
-  // claimed but not finished (or the next unclaimed index when idle).
-  // Restarting from it replays partially-streamed shards and skips none —
-  // thread interleaving makes the native path non-deterministic at sample
-  // level anyway, so shard granularity is the honest unit.
+  // Resume cursor base: the smallest shard index any worker has claimed
+  // but not finished (or the next unclaimed index when idle). Restarting
+  // from it replays no finished shard and skips none. Sample granularity
+  // comes from the "__shard__" coordinate pushed with every sample: the
+  // Python cursor counts consumed samples per shard >= this position and
+  // skips exactly that prefix on resume (native_loader.py).
   uint64_t position() {
     std::lock_guard<std::mutex> lk(mu_);
     uint64_t pos = next_shard_;
@@ -205,6 +206,12 @@ class Loader {
 
   void push(uint64_t shard, Sample&& sample) {
     if (sample.empty()) return;
+    // Sample-granular resume coordinate: the global shard index rides
+    // with every sample. One worker streams a shard sequentially and the
+    // queue is FIFO, so per-shard delivery order is the tar order —
+    // skipping the first N delivered samples of a shard reproduces
+    // exactly its unconsumed remainder (native_loader.py cursor).
+    sample.push_back({"__shard__", std::to_string(shard)});
     std::string ser = serialize(sample);
     std::unique_lock<std::mutex> lk(mu_);
     cv_push_.wait(lk,

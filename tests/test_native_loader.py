@@ -101,9 +101,10 @@ def test_native_throughput_vs_python(tmp_path):
     print(f"python {1000/dt_py:.0f} samples/s, native {1000/dt_nat:.0f}")
 
 
-def test_native_cursor_resume(tmp_path):
-    """Shard-granular resume: position() names the earliest in-flight
-    shard; reopening at it replays from that shard (skips nothing)."""
+def test_native_cursor_resume_exact(tmp_path):
+    """Sample-granular resume: the cursor is (earliest unfinished shard,
+    consumed counts per shard). Restoring yields EXACTLY the unconsumed
+    samples — no loss AND no replay — even with racing threads."""
     if not native_available():
         pytest.skip("native loader not built")
     shards = []
@@ -112,19 +113,42 @@ def test_native_cursor_resume(tmp_path):
         _make_shard(str(p), n=6, prefix=f"t{t}")
         shards.append(str(p))
 
-    s = NativeTarStream(shards, seed=5, n_threads=1, max_epochs=1)
+    s = NativeTarStream(shards, seed=5, n_threads=2, max_epochs=1)
     seen = [next(s)["__key__"] for _ in range(8)]
     state = s.get_state()
     s.close()
     assert 0 <= state["shard_pos"] <= 4
 
-    s2 = NativeTarStream.restore(shards, state, seed=5, n_threads=1,
+    s2 = NativeTarStream.restore(shards, state, seed=5, n_threads=2,
                                  max_epochs=1)
     rest = [x["__key__"] for x in s2]
     s2.close()
-    # together they cover every remaining sample at least once (replay
-    # of the partially-consumed shard allowed, loss not)
-    all_keys = set()
-    for t in range(4):
-        all_keys |= {f"t{t}{i:06d}" for i in range(6)}
-    assert set(seen) | set(rest) == all_keys
+    all_keys = {f"t{t}{i:06d}" for t in range(4) for i in range(6)}
+    assert sorted(seen + rest) == sorted(all_keys)  # multiset-exact
+
+
+def test_native_cursor_resume_bit_exact_single_thread(tmp_path):
+    """With one worker thread, delivery order is deterministic: the
+    resumed stream continues with the IDENTICAL sequence an uninterrupted
+    run would have produced."""
+    if not native_available():
+        pytest.skip("native loader not built")
+    shards = []
+    for t in range(3):
+        p = tmp_path / f"s{t}.tar"
+        _make_shard(str(p), n=5, prefix=f"u{t}")
+        shards.append(str(p))
+
+    full = [x["__key__"] for x in NativeTarStream(
+        shards, seed=9, n_threads=1, max_epochs=1)]
+
+    s = NativeTarStream(shards, seed=9, n_threads=1, max_epochs=1)
+    head = [next(s)["__key__"] for _ in range(7)]
+    state = s.get_state()
+    s.close()
+    s2 = NativeTarStream.restore(shards, state, seed=9, n_threads=1,
+                                 max_epochs=1)
+    tail = [x["__key__"] for x in s2]
+    s2.close()
+    assert head == full[:7]
+    assert head + tail == full
