@@ -3,10 +3,20 @@ eval_mmbench.py:140-159, incl. the repeat_interleave-of-image-features hack
 base_mmgpt.py:162-163 — here beams are expanded by gathering the KV cache,
 no feature duplication at the model level).
 
-Fully jitted: beams live as a flattened (batch*beams) batch; each step takes
-top-k over (beams*vocab), gathers the KV cache along the beam axis, and
-freezes finished beams (they extend only with pad at zero cost). Final
-selection normalizes by length**length_penalty (HF default semantics).
+Fully jitted, with HF ``generate``'s exact beam semantics (the reference
+runs HF beam search, so eval parity depends on them):
+
+  * each step ranks 2k candidates over (beams*vocab);
+  * an EOS candidate in the top-k ranks is BANKED as a finished
+    hypothesis — normalized by the HF convention, raw score divided by
+    the GENERATED length (counting the EOS) raised to
+    ``length_penalty`` — and its beam slot is refilled from the next
+    best continuation (HF does not freeze finished beams in place);
+  * a batch row is done (early_stopping=False semantics) once k
+    hypotheses are banked and the best attainable continuation score
+    cannot beat the worst banked one;
+  * at the token budget, still-alive beams join the hypothesis pool
+    normalized by the final length, and the best hypothesis wins.
 """
 
 from __future__ import annotations
@@ -69,69 +79,104 @@ class BeamSearch:
                 if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == b
                 else x, tree)
 
+        lp = self.length_penalty
+
         def loop(params, first_logits, cache, lengths):
             b = first_logits.shape[0]
             V = first_logits.shape[-1]
+            assert 2 * k <= V, "needs vocab >= 2*num_beams"
+            T = cfg.max_new_tokens
             logits = jnp.repeat(first_logits, k, axis=0)       # (b*k, V)
             cache = expand(cache, b)
             lengths = jnp.repeat(lengths, k, axis=0)
             # beam 0 active, others start at -inf so step 1 fans out
-            scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1)), (b,))
-            scores = scores.reshape(b, k)
-            done = jnp.zeros((b, k), bool)
-            seqs = jnp.full((b, k, cfg.max_new_tokens), cfg.pad_id, jnp.int32)
-            gen_len = jnp.zeros((b, k), jnp.int32)
+            alive_scores = jnp.tile(
+                jnp.asarray([0.0] + [NEG_INF] * (k - 1)), (b,)).reshape(b, k)
+            alive_seqs = jnp.full((b, k, T), cfg.pad_id, jnp.int32)
+            fin_scores = jnp.full((b, k), NEG_INF)
+            fin_seqs = jnp.full((b, k, T), cfg.pad_id, jnp.int32)
+            done_b = jnp.zeros((b,), bool)
 
             stop_ids = jnp.asarray((cfg.eos_id,) + tuple(cfg.stop_token_ids),
                                    jnp.int32)
 
             def cond(state):
-                i, _, _, _, _, done, _, _ = state
-                return (i < cfg.max_new_tokens) & ~jnp.all(done)
+                i, done_b = state[0], state[7]
+                return (i < T) & ~jnp.all(done_b)
 
             def body(state):
-                i, logits, cache, lengths, scores, done, seqs, gen_len = state
+                (i, logits, cache, lengths, alive_scores, alive_seqs,
+                 fin_scores, done_b, fin_seqs) = state
                 logprobs = jax.nn.log_softmax(
                     logits.astype(jnp.float32), axis=-1).reshape(b, k, V)
-                # finished beams: only pad, at no added cost
-                pad_only = jnp.full((V,), NEG_INF).at[cfg.pad_id].set(0.0)
-                logprobs = jnp.where(done[..., None], pad_only[None, None],
-                                     logprobs)
-                total = scores[..., None] + logprobs          # (b, k, V)
-                flat = total.reshape(b, k * V)
-                top_scores, top_idx = jax.lax.top_k(flat, k)  # (b, k)
-                beam_idx = top_idx // V
-                token = (top_idx % V).astype(jnp.int32)
+                total = alive_scores[..., None] + logprobs     # (b, k, V)
+                s2k, i2k = jax.lax.top_k(total.reshape(b, k * V), 2 * k)
+                beam2k = i2k // V
+                tok2k = (i2k % V).astype(jnp.int32)
+                is_eos = jnp.any(
+                    tok2k[..., None] == stop_ids[None, None, :], -1)
 
-                cache = _gather_beams(cache, beam_idx, b, k)
-                seqs = jnp.take_along_axis(seqs, beam_idx[..., None], axis=1)
-                done_g = jnp.take_along_axis(done, beam_idx, axis=1)
-                gen_len = jnp.take_along_axis(gen_len, beam_idx, axis=1)
+                seq2k = jnp.take_along_axis(
+                    alive_seqs, beam2k[..., None], axis=1)     # (b, 2k, T)
+                seq2k = jax.lax.dynamic_update_slice(
+                    seq2k, tok2k[..., None], (0, 0, i))
 
-                seqs = jax.lax.dynamic_update_slice(
-                    seqs, token[..., None], (0, 0, i))
-                newly_done = jnp.any(
-                    token[..., None] == stop_ids[None, None, :], -1)
-                gen_len = jnp.where(done_g, gen_len, gen_len + 1)
-                done = done_g | newly_done
+                # --- bank EOS candidates in the top-k ranks (HF: an EOS
+                # at rank >= k is discarded). Normalized by the full
+                # sequence length EXCLUDING the eos (prompt + i), the HF
+                # BeamHypotheses.add convention.
+                rank_ok = jnp.arange(2 * k)[None, :] < k
+                bankable = is_eos & rank_ok & ~done_b[:, None]
+                # HF BeamHypotheses.add: sum_logprobs / generated_len**lp,
+                # generated_len counting the EOS itself (i + 1)
+                norm2k = s2k / jnp.maximum(i + 1.0, 1.0) ** lp
+                bank = jnp.where(bankable, norm2k, NEG_INF)
+                fin_scores2 = jnp.concatenate([fin_scores, bank], axis=1)
+                fin_seqs2 = jnp.concatenate([fin_seqs, seq2k], axis=1)
+                fin_scores, fin_idx = jax.lax.top_k(fin_scores2, k)
+                fin_seqs = jnp.take_along_axis(
+                    fin_seqs2, fin_idx[..., None], axis=1)
 
-                flat_tok = token.reshape(b * k)
+                # --- refill alive beams from the best non-EOS candidates
+                alive_cand = jnp.where(is_eos, NEG_INF, s2k)
+                alive_scores, pick = jax.lax.top_k(alive_cand, k)
+                beam_sel = jnp.take_along_axis(beam2k, pick, axis=1)
+                alive_seqs = jnp.take_along_axis(
+                    seq2k, pick[..., None], axis=1)
+                tok_sel = jnp.take_along_axis(tok2k, pick, axis=1)
+                cache = _gather_beams(cache, beam_sel, b, k)
+                tok_sel = jnp.where(done_b[:, None], cfg.pad_id, tok_sel)
+
+                # --- done (early_stopping=False): k hypotheses banked AND
+                # the best attainable continuation cannot beat the worst
+                worst_fin = fin_scores[:, k - 1]
+                best_possible = s2k[:, 0] / jnp.maximum(i + 1.0, 1.0) ** lp
+                done_b = done_b | ((worst_fin > NEG_INF / 2)
+                                   & (worst_fin >= best_possible))
+
+                flat_tok = tok_sel.reshape(b * k)
                 logits, cache = model.apply(
                     {"params": params}, flat_tok[:, None],
                     positions=lengths[:, None], kv_cache=cache)
                 logits = logits[:, 0]
-                return (i + 1, logits, cache, lengths + 1, top_scores, done,
-                        seqs, gen_len)
+                return (i + 1, logits, cache, lengths + 1, alive_scores,
+                        alive_seqs, fin_scores, done_b, fin_seqs)
 
-            state = (jnp.int32(0), logits, cache, lengths, scores, done, seqs,
-                     gen_len)
+            state = (jnp.int32(0), logits, cache, lengths, alive_scores,
+                     alive_seqs, fin_scores, done_b, fin_seqs)
             state = jax.lax.while_loop(cond, body, state)
-            _, _, _, _, scores, done, seqs, gen_len = state
-            norm = scores / jnp.maximum(
-                gen_len.astype(jnp.float32), 1.0) ** self.length_penalty
-            best = jnp.argmax(norm, axis=1)
-            return jnp.take_along_axis(
-                seqs, best[:, None, None], axis=1)[:, 0], norm
+            (_, _, _, _, alive_scores, alive_seqs, fin_scores, done_b,
+             fin_seqs) = state
+            # finalize: not-done rows add their alive beams at the final
+            # generated length (HF finalize generated_len convention)
+            alive_norm = alive_scores / jnp.maximum(float(T), 1.0) ** lp
+            alive_norm = jnp.where(done_b[:, None], NEG_INF, alive_norm)
+            all_scores = jnp.concatenate([fin_scores, alive_norm], axis=1)
+            all_seqs = jnp.concatenate([fin_seqs, alive_seqs], axis=1)
+            best = jnp.argmax(all_scores, axis=1)
+            return (jnp.take_along_axis(
+                all_seqs, best[:, None, None], axis=1)[:, 0],
+                jnp.take_along_axis(all_scores, best[:, None], axis=1))
 
         self._prefill = jax.jit(prefill)
         self._loop = jax.jit(loop)
