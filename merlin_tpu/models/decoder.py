@@ -213,6 +213,13 @@ class Attention(nn.Module):
             tables = cache_aux["page_tables"]
             lengths = cache_aux["lengths"]
             kp, vp = layer_cache["k_pages"], layer_cache["v_pages"]
+            # flat shared pool (scan decode): this layer's pages live at
+            # rows [li*P, (li+1)*P) of (L*P, page, hkv*d); offsetting the
+            # page table addresses them with zero slicing/copying
+            layer_index = cache_aux.get("layer_index")
+            if layer_index is not None:
+                pages_per_layer = kp.shape[0] // self.cfg.num_layers
+                tables = tables + layer_index * pages_per_layer
             q8 = "k_scales" in layer_cache
             ks = layer_cache.get("k_scales")
             vs = layer_cache.get("v_scales")
@@ -275,34 +282,41 @@ class Attention(nn.Module):
             else:
                 # prefill: bulk-write the prompt into the (identity-mapped)
                 # pages; attention is plain self-attention over the prompt.
-                # head-packed layout: each token is one (hkv*d,) row.
+                # head-packed layout: each token is one (hkv*d,) row. In
+                # flat-pool mode the write lands at this layer's block via
+                # a dynamic leading index (in-place on the scan carry).
                 b_, s_ = k.shape[:2]
                 pps = tables.shape[1]
                 page = kp.shape[1]
                 kt = k.reshape(b_, s_, hkv * d)
                 vt = v.reshape(b_, s_, hkv * d)
+
+                def bulk(pages, rows):
+                    if layer_index is not None:
+                        view = pages.reshape(
+                            (self.cfg.num_layers, b_, pps * page)
+                            + pages.shape[2:])
+                        view = jax.lax.dynamic_update_slice(
+                            view, rows[None].astype(pages.dtype),
+                            (layer_index, 0, 0) + (0,) * (rows.ndim - 2))
+                        return view.reshape(pages.shape)
+                    view = pages.reshape(
+                        (b_, pps * page) + pages.shape[2:])
+                    view = jax.lax.dynamic_update_slice(
+                        view, rows.astype(pages.dtype),
+                        (0, 0) + (0,) * (rows.ndim - 2))
+                    return view.reshape(pages.shape)
+
                 if q8:
                     from merlin_tpu.ops.paged_attention import quantize_pages
 
                     ktq, ksq = quantize_pages(kt, d)
                     vtq, vsq = quantize_pages(vt, d)
-                    def bulk(pages, rows):
-                        view = pages.reshape(b_, pps * page, *pages.shape[2:])
-                        view = jax.lax.dynamic_update_slice(
-                            view, rows.astype(pages.dtype),
-                            (0, 0) + (0,) * (rows.ndim - 2))
-                        return view.reshape(pages.shape)
                     kp, ks = bulk(kp, ktq), bulk(ks, ksq)
                     vp, vs = bulk(vp, vtq), bulk(vs, vsq)
                 else:
-                    kview = kp.reshape(b_, pps * page, hkv * d)
-                    vview = vp.reshape(b_, pps * page, hkv * d)
-                    kview = jax.lax.dynamic_update_slice(
-                        kview, kt.astype(kp.dtype), (0, 0, 0))
-                    vview = jax.lax.dynamic_update_slice(
-                        vview, vt.astype(vp.dtype), (0, 0, 0))
-                    kp = kview.reshape(b_ * pps, page, hkv * d)
-                    vp = vview.reshape(b_ * pps, page, hkv * d)
+                    kp = bulk(kp, kt)
+                    vp = bulk(vp, vt)
                 out = flash_or_xla_attention(
                     q, k, v, causal=True,
                     segment_ids_q=segment_ids, segment_ids_kv=segment_ids,
@@ -314,11 +328,30 @@ class Attention(nn.Module):
         else:
             # Write this step's K/V (and validity) into the cache at `index`.
             idx = cache_index
-            kc = jax.lax.dynamic_update_slice_in_dim(
-                layer_cache["k"], k.astype(layer_cache["k"].dtype), idx, axis=1)
-            vc = jax.lax.dynamic_update_slice_in_dim(
-                layer_cache["v"], v.astype(layer_cache["v"].dtype), idx, axis=1)
-            new_cache = {"k": kc, "v": vc}
+            li = (cache_aux or {}).get("layer_index")
+            if li is not None:
+                # scan decode: the stacked (L, b, len, hkv, d) buffers are
+                # carried whole; update this layer's slice (in-place DUS
+                # on the scan carry) and read it back for attention
+                def upd(full, new):
+                    return jax.lax.dynamic_update_slice(
+                        full, new[None].astype(full.dtype),
+                        (li, 0, idx, 0, 0))
+                kc_full = upd(layer_cache["k"], k)
+                vc_full = upd(layer_cache["v"], v)
+                new_cache = {"k": kc_full, "v": vc_full}
+                kc = jax.lax.dynamic_index_in_dim(kc_full, li, 0,
+                                                  keepdims=False)
+                vc = jax.lax.dynamic_index_in_dim(vc_full, li, 0,
+                                                  keepdims=False)
+            else:
+                kc = jax.lax.dynamic_update_slice_in_dim(
+                    layer_cache["k"], k.astype(layer_cache["k"].dtype),
+                    idx, axis=1)
+                vc = jax.lax.dynamic_update_slice_in_dim(
+                    layer_cache["v"], v.astype(layer_cache["v"].dtype),
+                    idx, axis=1)
+                new_cache = {"k": kc, "v": vc}
             seg_in = (segment_ids if segment_ids is not None
                       else jnp.ones(q.shape[:2], jnp.int32))
             new_seg = jax.lax.dynamic_update_slice_in_dim(
@@ -384,17 +417,32 @@ class DecoderBlock(nn.Module):
 
 class _BlockForScan(nn.Module):
     """DecoderBlock adapted to nn.scan's (carry, ...) -> (carry, out)
-    calling convention. ``layer_cache`` rides the scan axis (a slice of a
-    stacked KV cache — see ``init_kv_cache(stacked=True)``) for the
-    decode/prefill path; it is None in training, where no cache exists."""
+    calling convention.
+
+    Cache modes, decided at trace time by the carry structure:
+      * training — no cache at all (pool=None),
+      * decode/prefill — the WHOLE stacked cache rides the CARRY and
+        each layer addresses its slice by ``layer_index``: paged caches
+        as flat (L*pages, page, hkv*d) arrays via a page-table offset,
+        dense caches via a dynamic leading index. Carried buffers update
+        in place under lax.scan; scanning the cache as xs/ys instead
+        costs a full cache copy per layer per step (measured ~6 ms on
+        the 7B paged serving step).
+    """
 
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, positions, segment_ids, cache_aux, layer_cache):
-        x, new_cache, _ = DecoderBlock(self.cfg, name="block")(
-            x, positions, segment_ids, layer_cache, cache_aux)
-        return x, new_cache
+    def __call__(self, carry, positions, segment_ids, cache_aux, layer_idx):
+        x, pool = carry
+        if pool is not None:
+            aux = dict(cache_aux, layer_index=layer_idx)
+            x, new_pool, _ = DecoderBlock(self.cfg, name="block")(
+                x, positions, segment_ids, pool, aux)
+            return (x, new_pool), None
+        x, _, _ = DecoderBlock(self.cfg, name="block")(
+            x, positions, segment_ids, None, cache_aux)
+        return (x, None), None
 
 
 class CausalLM(nn.Module):
@@ -505,9 +553,29 @@ class CausalLM(nn.Module):
                     "scan_layers decode needs a STACKED KV cache "
                     "(init_kv_cache(stacked=True)): the per-layer slices "
                     "ride the scan axis")
-            layers_in = kv_cache["layers"] if kv_cache is not None else None
-            x, new_layers = self.blocks_scanned(
-                x, positions, segment_ids, cache_aux, layers_in)
+            layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+            if kv_cache is None:
+                (x, _), _ = self.blocks_scanned(
+                    (x, None), positions, segment_ids, None, layer_ids)
+                new_layers = None
+            elif "page_tables" in kv_cache:
+                # paged: flatten (L, P, ...) -> (L*P, ...) ONCE and carry
+                # the whole pool; layers address their pages via table
+                # offsets (see _BlockForScan)
+                flat = {k_: v_.reshape((-1,) + v_.shape[2:])
+                        for k_, v_ in kv_cache["layers"].items()}
+                (x, flat), _ = self.blocks_scanned(
+                    (x, flat), positions, segment_ids, cache_aux, layer_ids)
+                L = cfg.num_layers
+                new_layers = {
+                    k_: v_.reshape((L, v_.shape[0] // L) + v_.shape[1:])
+                    for k_, v_ in flat.items()}
+            else:
+                # dense: the stacked (L, b, len, hkv, d) buffers ride the
+                # carry; each layer updates/reads its slice by index
+                (x, new_layers), _ = self.blocks_scanned(
+                    (x, kv_cache["layers"]), positions, segment_ids,
+                    cache_aux, layer_ids)
         else:
             new_layers = []
             for i, blk in enumerate(self.blocks):

@@ -51,7 +51,8 @@ LOG2E = math.log2(math.e)
 
 
 def _make_kernel(*, scale: float, kv_len: int, g: int, d: int,
-                 emit_lse: bool, assume_bounded: bool):
+                 emit_lse: bool, assume_bounded: bool,
+                 mxu_sum: bool = False):
     """Kernel for one (b, head_group, q_block) cell; refs are (1, rows, g*d)
     lane-packed. Head slices are static lane offsets (free); KV blocks have
     a constant index over the q dimension, so Mosaic's revolving buffers DMA
@@ -89,9 +90,27 @@ def _make_kernel(*, scale: float, kv_len: int, g: int, d: int,
             else:
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp2(s - m)
+            pb = p.astype(v_ref.dtype)
+            if mxu_sum and not emit_lse:
+                # MXU-summed denominator: the softmax sum rides a second
+                # matmul against a ones column block instead of a VPU
+                # lane-reduce over up to 4k lanes — this kernel is
+                # VPU-bound, the MXU is mostly idle. Using the SAME
+                # bf16-rounded p for numerator and denominator keeps the
+                # two consistently scaled (out = sum(p̃ v)/sum(p̃)).
+                ones = jnp.ones((skv, d), v_ref.dtype)
+                l_tile = jax.lax.dot_general(
+                    pb, ones, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (bq, d)
+                acc = jax.lax.dot_general(
+                    pb, v_ref[0, :, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (bq, d)
+                out_ref[0, :, sl] = (acc / l_tile).astype(out_ref.dtype)
+                continue
             l = jnp.sum(p, axis=-1, keepdims=True)
             acc = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, :, sl],
+                pb, v_ref[0, :, sl],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (bq, d)
             out_ref[0, :, sl] = (acc / l).astype(out_ref.dtype)
@@ -146,7 +165,7 @@ def _pick_block_q(sq_pad: int, skv: int, g: int, align: int) -> int:
 
 
 def _onepass_fwd(q, k, v, *, scale: float, kv_len: int, emit_lse: bool,
-                 assume_bounded: bool = True):
+                 assume_bounded: bool = True, mxu_sum: bool = False):
     b, sq_pad, h, d = q.shape
     skv = k.shape[1]
     assert k.shape[2] == h, "GQA not supported on the one-pass path"
@@ -175,7 +194,7 @@ def _onepass_fwd(q, k, v, *, scale: float, kv_len: int, emit_lse: bool,
 
     outs = pl.pallas_call(
         _make_kernel(scale=scale, kv_len=kv_len, g=g, d=d, emit_lse=emit_lse,
-                     assume_bounded=assume_bounded),
+                     assume_bounded=assume_bounded, mxu_sum=mxu_sum),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, g * d), lambda bi, gi, qi: (bi, qi, gi)),
@@ -204,13 +223,16 @@ def _onepass_fwd(q, k, v, *, scale: float, kv_len: int, emit_lse: bool,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _onepass(q, k, v, scale):
+    import os
+
     sq = q.shape[1]
     sq_pad = _primal_pad(sq)
     qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
     kp = _pad_rows(k, 8)
     vp = _pad_rows(v, 8)
-    out, _ = _onepass_fwd(qp, kp, vp, scale=scale, kv_len=k.shape[1],
-                          emit_lse=False)
+    out, _ = _onepass_fwd(
+        qp, kp, vp, scale=scale, kv_len=k.shape[1], emit_lse=False,
+        mxu_sum=os.environ.get("MERLIN_ONEPASS_MXU_SUM", "1") != "0")
     return out[:, :sq]
 
 

@@ -783,12 +783,11 @@ def write_token_to_pages(k_pages, v_pages, k_new, v_new, *, positions,
                                axis=1)[:, 0]
 
     def write(pages, new):
-        # pages: (P, page, hkv*d); new: (b, hkv, d)
+        # pages: (P, page, hkv*d); new: (b, hkv, d) -> ONE batched scatter
+        # (duplicate targets only occur on the trash page, where any
+        # write order is acceptable)
         flat = new.reshape(new.shape[0], -1)
-        def body(i, pages):
-            return pages.at[phys[i], offset[i], :].set(
-                flat[i].astype(pages.dtype))
-        return jax.lax.fori_loop(0, new.shape[0], body, pages)
+        return pages.at[phys, offset].set(flat.astype(pages.dtype))
 
     return write(k_pages, k_new), write(v_pages, v_new)
 
@@ -812,16 +811,9 @@ def write_token_to_pages_q8(k_pages, k_scales, v_pages, v_scales,
         q8 = jnp.clip(jnp.round(new.astype(jnp.float32) / sc[..., None]),
                       -127, 127).astype(jnp.int8)
         flat = q8.reshape(q8.shape[0], -1)
-
         sc_pad = jnp.pad(sc, ((0, 0), (0, _LANES - sc.shape[1])))
-
-        def body(i, carry):
-            p_, s_ = carry
-            p_ = p_.at[phys[i], offset[i], :].set(flat[i])
-            s_ = s_.at[phys[i], offset[i], :].set(sc_pad[i])
-            return p_, s_
-
-        return jax.lax.fori_loop(0, new.shape[0], body, (pages, scales))
+        return (pages.at[phys, offset].set(flat),
+                scales.at[phys, offset].set(sc_pad))
 
     k_pages, k_scales = write(k_pages, k_scales, k_new)
     v_pages, v_scales = write(v_pages, v_scales, v_new)

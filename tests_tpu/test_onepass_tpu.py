@@ -53,6 +53,29 @@ def test_onepass_padding_masked():
     assert float(jnp.max(jnp.abs(outs[0] - outs[1]))) == 0.0
 
 
+def test_onepass_mxu_sum_denominator_parity():
+    """The MXU-summed softmax denominator (inference path) must match the
+    VPU lane-reduce within bf16 rounding."""
+    from merlin_tpu.ops.onepass_attention import _onepass_fwd
+
+    b, s, h, d = 4, 1025, 8, 64
+    q, k, v = (_rand((b, s, h, d), i + 10) for i in range(3))
+    pad = 1032 - s
+
+    @functools.partial(jax.jit, static_argnames=("mxu",))
+    def run(q, k, v, mxu):
+        qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        out, _ = _onepass_fwd(qp, kp, vp, scale=d ** -0.5, kv_len=s,
+                              emit_lse=False, mxu_sum=mxu)
+        return out[:, :s]
+
+    a = run(q, k, v, True).astype(jnp.float32)
+    b_ = run(q, k, v, False).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(a - b_))) < 2e-2
+
+
 def test_onepass_grad_parity():
     b, s, h, d = 2, 1025, 4, 64
     q, k, v = (_rand((b, s, h, d), i) for i in range(3))
