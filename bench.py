@@ -412,6 +412,14 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4):
         arrivals[r.req_id] = rec
         return r
 
+    # phase 0 — steady state on the round-2 workload (uniform 120-token
+    # prompts, 96 new each) for cross-round comparability
+    steady = [submit(prompt(120), 96) for _ in range(8)]
+    t0 = time.perf_counter()
+    eng.run_until_idle()
+    steady_tps = sum(len(r.generated) for r in steady) / (
+        time.perf_counter() - t0)
+
     # phase 1 — throughput: 12 mixed requests through the slots
     mix = [(90, 64), (120, 96), (250, 128), (140, 48), (300, 160),
            (100, 96), (180, 80), (260, 128), (130, 64), (110, 96),
@@ -438,11 +446,13 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4):
     # every admission records one token straight from the prefill logits
     # (not a decode-step dispatch); each preemption leads to one extra
     # re-admission of the victim
-    admissions = len(mix) + num_slots + len(preempts)
-    decode_recorded = tokens + press_tokens - admissions
+    admissions = len(steady) + len(mix) + num_slots + len(preempts)
+    decode_recorded = (sum(len(r.generated) for r in steady) + tokens
+                       + press_tokens - admissions)
     wasted = dispatched[0] - decode_recorded
     return {
         "tokens_per_sec": tokens / dt,
+        "steady_tokens_per_sec": steady_tps,
         "p50_inter_token_ms": float(gaps[len(gaps) // 2]) * 1e3,
         "p95_inter_token_ms": float(gaps[int(len(gaps) * 0.95)]) * 1e3,
         "p50_ttft_under_load_ms": float(np.median(ttfts)) * 1e3,
@@ -499,7 +509,8 @@ def main():
         # a driver timeout here must not starve the sections above
         ("serving", lambda: (lambda r: details.update(
             vicuna7b_serving_tokens_per_sec_4slots=round(
-                r["tokens_per_sec"], 1),
+                r["steady_tokens_per_sec"], 1),
+            serving_mixed_tokens_per_sec=round(r["tokens_per_sec"], 1),
             serving_p50_inter_token_ms=round(r["p50_inter_token_ms"], 1),
             serving_p95_inter_token_ms=round(r["p95_inter_token_ms"], 1),
             serving_p50_ttft_under_load_ms=round(

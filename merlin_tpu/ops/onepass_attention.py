@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -80,8 +81,12 @@ def _make_kernel(*, scale: float, kv_len: int, g: int, d: int,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * c      # (bq, skv)
             if kv_len < skv:
-                k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(k_pos < kv_len, s, NEG_INF)
+                # constant bias row: 1 VPU pass instead of iota+cmp+select
+                bias = jnp.where(
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (1, skv), 1) < kv_len,
+                    0.0, NEG_INF)
+                s = s + bias
             if assume_bounded:
                 # clamp: overflow (logits >= ~88 natural) saturates the
                 # softmax instead of producing inf/NaN outputs
@@ -120,6 +125,53 @@ def _make_kernel(*, scale: float, kv_len: int, g: int, d: int,
                 maybe_lse[0][0, hh * _LSE_SUBLANES:(hh + 1) * _LSE_SUBLANES,
                              :] = jnp.broadcast_to(
                     lse, (_LSE_SUBLANES, lse.shape[1]))
+
+    return kernel
+
+
+def _make_kernel_bd(*, scale: float, kv_len: int, g: int, d: int):
+    """Block-diagonal packed inference kernel for g*d == 128 cells.
+
+    At d=64 a per-head (bq, 64) @ (64, skv) score matmul uses HALF the
+    MXU's 128-wide contraction. Here the g heads of a cell are stacked as
+    extra ROWS with their off-head lanes zeroed, so ONE
+    (g*bq, 128) @ (128, skv) matmul computes every head's scores at full
+    contraction utilization (rows [h*bq, (h+1)*bq) hold head h). The P@V
+    stage multiplies the full lane-packed V (each row computes both
+    heads' outputs, its own head's lanes kept at recombine) — same MXU
+    time as two half-utilized matmuls but one op. Inference path only
+    (assume_bounded, no LSE)."""
+    c = scale * LOG2E
+
+    def kernel(q_ref, k_ref, v_ref, out_ref):
+        skv = k_ref.shape[1]
+        bq = q_ref.shape[1]
+        q = q_ref[0]                                     # (bq, g*d)
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        q_bd = jnp.concatenate(
+            [jnp.where((lane >= hh * d) & (lane < (hh + 1) * d), q, 0)
+             for hh in range(g)], axis=0)                # (g*bq, g*d)
+        s = jax.lax.dot_general(
+            q_bd, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * c      # (g*bq, skv)
+        if kv_len < skv:
+            # padded-KV masking as ONE broadcast add of a constant bias
+            # row (the iota/compare/select trio costs 3 full-tile VPU
+            # passes; the mask pattern is compile-time constant)
+            bias = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, skv), 1) < kv_len,
+                0.0, NEG_INF)
+            s = s + bias
+        p = jnp.exp2(jnp.minimum(s, 120.0))
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (g*bq, g*d)
+        out = acc / l
+        out_ref[0] = jnp.concatenate(
+            [out[hh * bq:(hh + 1) * bq, hh * d:(hh + 1) * d]
+             for hh in range(g)], axis=1).astype(out_ref.dtype)
 
     return kernel
 
@@ -192,9 +244,15 @@ def _onepass_fwd(q, k, v, *, scale: float, kv_len: int, emit_lse: bool,
         out_specs.append(pl.BlockSpec((1, g * _LSE_SUBLANES, block_q),
                                       lambda bi, gi, qi: (bi, gi, qi)))
 
+    use_bd = (not emit_lse and assume_bounded and g > 1 and g * d == 128
+              and os.environ.get("MERLIN_ONEPASS_BD", "1") != "0")
+    kernel = (_make_kernel_bd(scale=scale, kv_len=kv_len, g=g, d=d)
+              if use_bd else
+              _make_kernel(scale=scale, kv_len=kv_len, g=g, d=d,
+                           emit_lse=emit_lse, assume_bounded=assume_bounded,
+                           mxu_sum=mxu_sum))
     outs = pl.pallas_call(
-        _make_kernel(scale=scale, kv_len=kv_len, g=g, d=d, emit_lse=emit_lse,
-                     assume_bounded=assume_bounded, mxu_sum=mxu_sum),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, g * d), lambda bi, gi, qi: (bi, qi, gi)),
@@ -230,9 +288,15 @@ def _onepass(q, k, v, scale):
     qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
     kp = _pad_rows(k, 8)
     vp = _pad_rows(v, 8)
+    # MERLIN_ONEPASS_MXU_SUM=1 rides the softmax sum on a second MXU
+    # matmul instead of the VPU lane-reduce. Measured on hardware it is a
+    # REGRESSION at the ViT-L shape (156.5 vs 172.0 fps encode, same
+    # session): the ones-matmul doubles the P@V-stage MXU work and that
+    # costs more than the lane-reduce it saves. Kept behind the flag as a
+    # documented dead end (r3; like r2's rejected QKV fusion).
     out, _ = _onepass_fwd(
         qp, kp, vp, scale=scale, kv_len=k.shape[1], emit_lse=False,
-        mxu_sum=os.environ.get("MERLIN_ONEPASS_MXU_SUM", "1") != "0")
+        mxu_sum=os.environ.get("MERLIN_ONEPASS_MXU_SUM", "0") == "1")
     return out[:, :sq]
 
 
