@@ -71,7 +71,9 @@ def build_model_tokenizer(model_args, data_args, training_args,
     dtype = jnp.bfloat16 if getattr(training_args, "bf16", True) else jnp.float32
 
     if tiny:
-        lm_cfg = tiny_lm(remat=training_args.gradient_checkpointing)
+        lm_cfg = tiny_lm(remat=training_args.gradient_checkpointing,
+                         scan_layers=getattr(model_args, "scan_layers",
+                                             False))
         vit_cfg = tiny_vit()
         tokenizer, ids, num_added = _tiny_tokenizer_with_mm_tokens(
             training_args.model_max_length)
@@ -81,6 +83,8 @@ def build_model_tokenizer(model_args, data_args, training_args,
             model_args.model_name_or_path,
             model_max_length=training_args.model_max_length,
             dtype=dtype, remat=training_args.gradient_checkpointing)
+        if getattr(model_args, "scan_layers", False):
+            lm_cfg = dataclasses.replace(lm_cfg, scan_layers=True)
         from merlin_tpu.models.vision_builder import (
             default_vision_config, vision_kind_from_name)
         vision_kind = vision_kind_from_name(model_args.vision_tower or "clip")
@@ -184,12 +188,22 @@ def init_or_load_params(bundle: ModelBundle, *, rng: Optional[jax.Array] = None,
             decoder_params_from_hf, extract_by_prefix, load_torch_state_dict)
         from merlin_tpu.models.vit import vit_params_from_hf
 
+        def to_lm_tree(lm_params):
+            """Checkpoints convert into the loop layout; stack on the
+            HOST for scan_layers models (a device-side stack would hold
+            2x the model transiently — 27 GB at 7B)."""
+            if cfg.lm.scan_layers:
+                from merlin_tpu.models.convert import stack_layer_params
+                return stack_layer_params(lm_params, cfg.lm.num_layers)
+            return lm_params
+
         if composite_checkpoint:
             sd = load_torch_state_dict(composite_checkpoint)
             lm_sd = {k: v for k, v in sd.items()
                      if not k.startswith(("model.vision_tower",
                                           "model.projector"))}
-            params["lm"] = decoder_params_from_hf(lm_sd, cfg.lm, family=family)
+            params["lm"] = to_lm_tree(
+                decoder_params_from_hf(lm_sd, cfg.lm, family=family))
             tower_sd = extract_by_prefix(sd, "model.vision_tower.")
             if tower_sd:
                 params["vision_tower"] = {"vit": vit_params_from_hf(tower_sd, cfg.vit)}
@@ -208,7 +222,7 @@ def init_or_load_params(bundle: ModelBundle, *, rng: Optional[jax.Array] = None,
                     w = lm_params["lm_head"]["kernel"]
                     lm_params["lm_head"]["kernel"] = resize_embeddings_mean_init(
                         w.T, cfg.lm.vocab_size).T
-                params["lm"] = lm_params
+                params["lm"] = to_lm_tree(lm_params)
             if vision_checkpoint:
                 sd = load_torch_state_dict(vision_checkpoint)
                 params["vision_tower"] = {"vit": vit_params_from_hf(sd, cfg.vit)}

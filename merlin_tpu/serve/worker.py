@@ -282,11 +282,17 @@ def main():
     p.add_argument("--engine-cache-dtype", default=None,
                    choices=[None, "bf16", "int8", "f32"],
                    help="int8 halves KV pool memory (per-token-head scales)")
+    p.add_argument("--scan-decode", action="store_true",
+                   help="scan the LM layer stack: ONE paged-attention "
+                        "kernel instance serves every layer (minutes "
+                        "less compile at 7B; checkpoints stack at load)")
     args, rest = p.parse_known_args()
 
     margs, dargs, targs = parse_args(rest)
     if args.model_path:
         margs.model_name_or_path = args.model_path
+    if args.scan_decode:
+        margs.scan_layers = True
     bundle = build_model_tokenizer(margs, dargs, targs, tiny=args.tiny)
     init_or_load_params(bundle, composite_checkpoint=margs.pretrain_model)
     server = serve(bundle, host=args.host, port=args.port,

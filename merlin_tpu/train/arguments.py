@@ -27,6 +27,11 @@ class ModelArguments:
     freeze_projector: bool = False
     tune_im_start_end: bool = True              # keep new-token rows trainable
     version: str = "v1"                         # conversation template
+    # nn.scan the LM layer stack: one compiled block regardless of depth
+    # (training compiles AND the scanned paged-decode serving path).
+    # Checkpoints convert into the stacked layout at load. Note: LLRD's
+    # per-depth lr scaling does not apply to a scanned stack.
+    scan_layers: bool = False
 
 
 @dataclass

@@ -201,6 +201,42 @@ def test_composite_sharded_checkpoint_loads_every_projector(tmp_path, kind):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_composite_load_into_scanned_stack(tmp_path):
+    """ModelArguments(scan_layers=True): the checkpoint converts into the
+    stacked layers/block layout at load (host-side stacking — the serving
+    path's one-kernel-instance decoder), with logits identical to the
+    loop-decoder load."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    dargs = DataArguments(image_size=16)
+    targs = TrainingArguments(gradient_checkpointing=False,
+                              model_max_length=64)
+    loop_b = build_model_tokenizer(
+        ModelArguments(projector="conv"), dargs, targs, tiny=True)
+    scan_b = build_model_tokenizer(
+        ModelArguments(projector="conv", scan_layers=True), dargs, targs,
+        tiny=True)
+    assert scan_b.config.lm.scan_layers
+
+    sd = {}
+    sd.update(_llama_sd(loop_b.config.lm, rng))
+    sd.update(_clip_tower_sd(loop_b.config.vit, rng))
+    sd.update(_projector_sd("conv", loop_b.config, rng))
+    ckpt = str(tmp_path / "composite")
+    _write_sharded(ckpt, sd)
+
+    p_loop = init_or_load_params(loop_b, composite_checkpoint=ckpt)
+    p_scan = init_or_load_params(scan_b, composite_checkpoint=ckpt)
+    qk = p_scan["lm"]["layers"]["block"]["attn"]["q_proj"]["kernel"]
+    assert qk.shape[0] == scan_b.config.lm.num_layers
+
+    ids = jnp.asarray(rng.integers(1, 90, size=(1, 8)), jnp.int32)
+    a, _ = loop_b.model.apply({"params": p_loop}, ids)
+    b, _ = scan_b.model.apply({"params": p_scan}, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_composite_single_file_checkpoint(tmp_path):
     """The single-file pytorch_model.bin form loads through the same path
     (reference clip_encoder.py:50-62 fallback branch)."""
