@@ -123,8 +123,12 @@ class ConversationDataset:
 
     @staticmethod
     def _load_annotations(path: str) -> List[dict]:
+        from merlin_tpu.data.storage import smart_open
+
         if path.endswith(".json"):
-            with open(path) as f:
+            # local or object-store (reference loads annotation JSONs via
+            # megfile.smart_open, base_dataset.py:43-54)
+            with smart_open(path, "r") as f:
                 return json.load(f)
         out: List[dict] = []
         for p in sorted(_glob.glob(os.path.join(path, "*.json"))):

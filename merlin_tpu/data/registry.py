@@ -53,8 +53,15 @@ class WebdataSpec:
 
     def shard_list(self) -> List[str]:
         """Expand the glob / return the explicit list of shard paths.
-        Remote globs (s3://, gs://) expand through fsspec."""
+        s3:// expands through the credentialed storage adapter
+        (boto3-or-fsspec, reference base_dataset.py:33-35 semantics);
+        other remote schemes through fsspec."""
         if isinstance(self.path, str):
+            if self.path.startswith("s3://") \
+                    and any(c in self.path for c in "*?["):
+                from merlin_tpu.data.storage import list_keys
+
+                return list_keys(self.path)
             if "://" in self.path and any(c in self.path for c in "*?["):
                 import fsspec
 

@@ -60,12 +60,14 @@ def split_by_worker(it: Iterator[str], worker_id: int = 0,
 
 
 def _open_shard(path: str):
-    """Local file or remote object (s3://, gs://, ... via fsspec — the
-    reference streams from S3 through boto3/megfile, base_dataset.py:33)."""
+    """Local file or remote object. s3:// goes through the credentialed
+    storage adapter (boto3 when available, env endpoint/keys — the
+    reference's boto3/megfile path, base_dataset.py:33-35), other remote
+    schemes through fsspec."""
     if "://" in path:
-        import fsspec
+        from merlin_tpu.data.storage import smart_open
 
-        return fsspec.open(path, "rb").open()
+        return smart_open(path, "rb")
     return open(path, "rb")
 
 

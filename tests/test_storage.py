@@ -1,0 +1,140 @@
+"""Object-store adapter tests against a FAKE boto3 (boto3/s3fs are not
+installed in CI): credential plumbing from env, endpoint propagation,
+streaming-body wrapping (incl. tar streaming), and paginated glob
+listing — the reference's boto3/megfile semantics
+(base_dataset.py:33-54) without a real store.
+"""
+
+import io
+import sys
+import tarfile
+import types
+
+import pytest
+
+
+class _FakeBody:
+    def __init__(self, data: bytes):
+        self._bio = io.BytesIO(data)
+
+    def read(self, n=-1):
+        return self._bio.read(n)
+
+    def close(self):
+        pass
+
+
+class _FakeClient:
+    def __init__(self, store, recorded):
+        self._store = store
+        self._recorded = recorded
+
+    def get_object(self, Bucket, Key):
+        return {"Body": _FakeBody(self._store[(Bucket, Key)])}
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        keys = sorted(k for (b, k) in self._store if b == Bucket
+                      and k.startswith(Prefix))
+        # paginate 2 at a time to exercise continuation handling
+        start = int(ContinuationToken or 0)
+        page = keys[start:start + 2]
+        out = {"Contents": [{"Key": k} for k in page],
+               "IsTruncated": start + 2 < len(keys)}
+        if out["IsTruncated"]:
+            out["NextContinuationToken"] = str(start + 2)
+        return out
+
+
+@pytest.fixture()
+def fake_s3(monkeypatch):
+    store = {}
+    recorded = {}
+
+    fake = types.ModuleType("boto3")
+
+    class Session:
+        def __init__(self, **kw):
+            recorded["session"] = kw
+
+        def client(self, service, endpoint_url=None):
+            recorded["endpoint_url"] = endpoint_url
+            return _FakeClient(store, recorded)
+
+    fake.Session = Session
+    monkeypatch.setitem(sys.modules, "boto3", fake)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKTEST")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SECRET")
+    monkeypatch.setenv("AWS_ENDPOINT_URL", "https://oss.example")
+    return store, recorded
+
+
+def test_smart_open_s3_credentials_and_bytes(fake_s3):
+    from merlin_tpu.data.storage import smart_open
+
+    store, recorded = fake_s3
+    store[("bkt", "dir/a.json")] = b'{"x": 1}'
+    with smart_open("s3://bkt/dir/a.json", "r") as f:
+        import json
+        assert json.load(f) == {"x": 1}
+    assert recorded["session"]["aws_access_key_id"] == "AKTEST"
+    assert recorded["session"]["aws_secret_access_key"] == "SECRET"
+    assert recorded["endpoint_url"] == "https://oss.example"
+
+
+def test_smart_open_s3_tar_streaming(fake_s3):
+    """tarfile stream mode ('r|*') over the wrapped streaming body — the
+    shard-reading path (shards._open_shard)."""
+    from merlin_tpu.data.shards import indexed_tar_samples
+
+    store, _ = fake_s3
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for i in range(3):
+            for ext in ("jpg", "txt"):
+                data = f"payload{i}".encode()
+                info = tarfile.TarInfo(f"s{i:03d}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    store[("bkt", "shards/s0.tar")] = buf.getvalue()
+
+    samples = list(indexed_tar_samples("s3://bkt/shards/s0.tar"))
+    assert len(samples) == 3
+    assert samples[0][1]["txt"] == b"payload0"
+
+
+def test_list_keys_glob_and_pagination(fake_s3):
+    from merlin_tpu.data.storage import list_keys
+
+    store, _ = fake_s3
+    for i in range(5):
+        store[("bkt", f"data/part-{i}.tar")] = b""
+    store[("bkt", "data/readme.md")] = b""
+    out = list_keys("s3://bkt/data/part-*.tar")
+    assert out == [f"s3://bkt/data/part-{i}.tar" for i in range(5)]
+
+
+def test_registry_spec_expands_s3_glob(fake_s3):
+    from merlin_tpu.data.registry import WebdataSpec
+
+    store, _ = fake_s3
+    for i in range(3):
+        store[("bkt", f"laion/{i:05d}.tar")] = b""
+    spec = WebdataSpec(path="s3://bkt/laion/*.tar", size=10)
+    assert spec.shard_list() == [
+        f"s3://bkt/laion/{i:05d}.tar" for i in range(3)]
+
+
+def test_smart_open_local_passthrough(tmp_path):
+    from merlin_tpu.data.storage import smart_open
+
+    p = tmp_path / "f.txt"
+    p.write_text("hello")
+    with smart_open(str(p), "r") as f:
+        assert f.read() == "hello"
+
+
+def test_smart_open_s3_write_rejected(fake_s3):
+    from merlin_tpu.data.storage import smart_open
+
+    with pytest.raises(NotImplementedError):
+        smart_open("s3://bkt/x", "wb")
