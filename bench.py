@@ -450,6 +450,14 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4):
     decode_recorded = (sum(len(r.generated) for r in steady) + tokens
                        + press_tokens - admissions)
     wasted = dispatched[0] - decode_recorded
+    # release the 13.5G of params + KV pool NOW: the jitted step closures
+    # hold `eng` in a reference cycle, so without close() the buffers stay
+    # resident into the next section and the int8 run OOMs the 16G chip
+    eng.step = None
+    eng.close()
+    del eng, params, model
+    import gc
+    gc.collect()
     return {
         "tokens_per_sec": tokens / dt,
         "steady_tokens_per_sec": steady_tps,
