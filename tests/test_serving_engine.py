@@ -188,3 +188,23 @@ def test_engine_interleaved_admission(model_params):
     engine.run_until_idle()
     assert r1.generated == _reference(model, params, [5, 17, 33, 41], 6)
     assert r2.generated == _reference(model, params, [7, 9, 11], 6)
+
+
+def test_engine_close_releases_buffers(model_params):
+    """close() drops every device-buffer reference (params, pool, jitted
+    closures) so back-to-back engines fit on one chip — the jitted step
+    closures otherwise hold the engine in a reference cycle until a full
+    GC pass (at 7B that is ~15 GB still resident when the next engine's
+    params load). Idempotent; serving first must not change the result."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.float32)
+    r = engine.submit([5, 17, 33], max_new_tokens=6)
+    engine.run_until_idle()
+    assert r.done
+    engine.close()
+    assert engine.cache is None and engine.params is None
+    assert engine._prefill is None and engine._decode is None
+    assert engine._decode_chunk is None and engine._tokens_dev is None
+    engine.close()  # idempotent
