@@ -108,9 +108,13 @@ class NativeTarStream:
                                        n_threads, max_epochs, start_index)
         if not self._handle:
             raise RuntimeError("mtl_open failed (empty shard list?)")
-        # sample-granular resume bookkeeping (consumer-thread only)
-        self._consumed: Dict[int, int] = {}
+        # sample-granular resume bookkeeping (consumer-thread only).
+        # The skip prefix was consumed by the run that WROTE the cursor,
+        # so it seeds _consumed: a checkpoint taken after this resume must
+        # still report it, or a chained resume (checkpoint -> resume ->
+        # checkpoint -> resume) would under-count the prefix and replay it.
         self._skip: Dict[int, int] = dict(skip or {})
+        self._consumed: Dict[int, int] = dict(self._skip)
 
     # -- sample-granular resume cursor ----------------------------------
     # Every sample carries its global shard index ("__shard__",
@@ -154,7 +158,8 @@ class NativeTarStream:
             if shard >= 0:
                 left = self._skip.get(shard, 0)
                 if left > 0:
-                    # consumed before the checkpoint: drop without counting
+                    # consumed before the checkpoint: drop (already counted
+                    # into _consumed by __init__)
                     self._skip[shard] = left - 1
                     continue
                 self._consumed[shard] = self._consumed.get(shard, 0) + 1

@@ -152,3 +152,37 @@ def test_native_cursor_resume_bit_exact_single_thread(tmp_path):
     s2.close()
     assert head == full[:7]
     assert head + tail == full
+
+
+def test_native_cursor_chained_resume_no_replay(tmp_path):
+    """checkpoint -> resume -> checkpoint -> resume (the every-N-steps
+    training pattern): the second cursor must still report the prefix the
+    FIRST run consumed, or the third stream replays it. Regression for the
+    r3 bug where skipped samples were dropped without seeding _consumed."""
+    if not native_available():
+        pytest.skip("native loader not built")
+    shards = []
+    for t in range(3):
+        p = tmp_path / f"s{t}.tar"
+        _make_shard(str(p), n=5, prefix=f"v{t}")
+        shards.append(str(p))
+
+    full = [x["__key__"] for x in NativeTarStream(
+        shards, seed=11, n_threads=1, max_epochs=1)]
+
+    s = NativeTarStream(shards, seed=11, n_threads=1, max_epochs=1)
+    a = [next(s)["__key__"] for _ in range(4)]
+    st1 = s.get_state()
+    s.close()
+
+    s2 = NativeTarStream.restore(shards, st1, seed=11, n_threads=1,
+                                 max_epochs=1)
+    b = [next(s2)["__key__"] for _ in range(4)]
+    st2 = s2.get_state()
+    s2.close()
+
+    s3 = NativeTarStream.restore(shards, st2, seed=11, n_threads=1,
+                                 max_epochs=1)
+    c = [x["__key__"] for x in s3]
+    s3.close()
+    assert a + b + c == full  # no loss, no replay, exact order
