@@ -26,9 +26,9 @@ wrapping without a real object store.
 
 from __future__ import annotations
 
-import fnmatch
 import io
 import os
+import re
 from typing import Dict, List, Optional, Tuple
 
 
@@ -51,15 +51,26 @@ def _split_s3(url: str) -> Tuple[str, str]:
     return bucket, key
 
 
+_CLIENT_CACHE: Dict[Tuple[Optional[str], ...], object] = {}
+
+
 def _boto3_client():
     import boto3  # gated: absent in CI, present on real TPU hosts
 
     creds = s3_credentials()
-    session = boto3.Session(
-        aws_access_key_id=creds["aws_access_key_id"],
-        aws_secret_access_key=creds["aws_secret_access_key"],
-        aws_session_token=creds["aws_session_token"])
-    return session.client("s3", endpoint_url=creds["endpoint_url"])
+    # one client per credential set: boto3 clients are thread-safe and a
+    # fresh Session per open() costs ~100ms of config/endpoint resolution
+    cache_key = (creds["aws_access_key_id"], creds["aws_secret_access_key"],
+                 creds["aws_session_token"], creds["endpoint_url"])
+    client = _CLIENT_CACHE.get(cache_key)
+    if client is None:
+        session = boto3.Session(
+            aws_access_key_id=creds["aws_access_key_id"],
+            aws_secret_access_key=creds["aws_secret_access_key"],
+            aws_session_token=creds["aws_session_token"])
+        client = session.client("s3", endpoint_url=creds["endpoint_url"])
+        _CLIENT_CACHE[cache_key] = client
+    return client
 
 
 def smart_open(path: str, mode: str = "rb"):
@@ -128,6 +139,37 @@ class _StreamingBodyFile(io.RawIOBase):
             super().close()
 
 
+def _glob_re(pattern: str) -> "re.Pattern":
+    """Glob -> regex with path-glob semantics (``*``/``?`` stop at ``/``,
+    ``**`` crosses directories) — matches fs.glob/megfile.smart_glob;
+    fnmatch would let ``shards/*.tar`` swallow ``shards/sub/x.tar``."""
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            if pattern[i:i + 2] == "**":
+                out.append(".*")
+                i += 2
+                continue
+            out.append("[^/]*")
+        elif ch == "?":
+            out.append("[^/]")
+        elif ch == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(ch))
+            else:
+                body = pattern[i + 1:j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = j
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile("".join(out) + r"\Z")
+
+
 def list_keys(url: str) -> List[str]:
     """Expand an s3:// prefix or glob to object URLs (registry shard
     expansion; reference uses megfile.smart_glob)."""
@@ -162,7 +204,7 @@ def list_keys(url: str) -> List[str]:
         for item in resp.get("Contents", []):
             if cut == len(key) and item["Key"] != key:
                 continue  # exact-key listing
-            if cut < len(key) and not fnmatch.fnmatch(item["Key"], key):
+            if cut < len(key) and not _glob_re(key).match(item["Key"]):
                 continue
             keys.append(f"s3://{bucket}/{item['Key']}")
         if not resp.get("IsTruncated"):

@@ -6,7 +6,8 @@ no feature duplication at the model level).
 Fully jitted, with HF ``generate``'s exact beam semantics (the reference
 runs HF beam search, so eval parity depends on them):
 
-  * each step ranks 2k candidates over (beams*vocab);
+  * each step ranks max(2, 1 + n_stop)*k candidates over (beams*vocab),
+    HF's pool sizing, so stop tokens can never starve the beam refill;
   * an EOS candidate in the top-k ranks is BANKED as a finished
     hypothesis — normalized by the HF convention, raw score divided by
     the GENERATED length (counting the EOS) raised to
@@ -81,10 +82,16 @@ class BeamSearch:
 
         lp = self.length_penalty
 
+        # Candidate pool per step: HF sizes it max(2, 1 + n_eos) * k so
+        # that even if every stop id lands in the top ranks there are
+        # still k non-stop candidates to refill the alive beams (2k is
+        # insufficient once len(stop_token_ids) > 1).
+        n_cand = max(2, 2 + len(cfg.stop_token_ids)) * k
+
         def loop(params, first_logits, cache, lengths):
             b = first_logits.shape[0]
             V = first_logits.shape[-1]
-            assert 2 * k <= V, "needs vocab >= 2*num_beams"
+            assert n_cand <= V, "needs vocab >= max(2,1+n_stop)*num_beams"
             T = cfg.max_new_tokens
             logits = jnp.repeat(first_logits, k, axis=0)       # (b*k, V)
             cache = expand(cache, b)
@@ -110,7 +117,7 @@ class BeamSearch:
                 logprobs = jax.nn.log_softmax(
                     logits.astype(jnp.float32), axis=-1).reshape(b, k, V)
                 total = alive_scores[..., None] + logprobs     # (b, k, V)
-                s2k, i2k = jax.lax.top_k(total.reshape(b, k * V), 2 * k)
+                s2k, i2k = jax.lax.top_k(total.reshape(b, k * V), n_cand)
                 beam2k = i2k // V
                 tok2k = (i2k % V).astype(jnp.int32)
                 is_eos = jnp.any(
@@ -125,7 +132,7 @@ class BeamSearch:
                 # at rank >= k is discarded). Normalized by the full
                 # sequence length EXCLUDING the eos (prompt + i), the HF
                 # BeamHypotheses.add convention.
-                rank_ok = jnp.arange(2 * k)[None, :] < k
+                rank_ok = jnp.arange(n_cand)[None, :] < k
                 bankable = is_eos & rank_ok & ~done_b[:, None]
                 # HF BeamHypotheses.add: sum_logprobs / generated_len**lp,
                 # generated_len counting the EOS itself (i + 1)
@@ -148,9 +155,15 @@ class BeamSearch:
                 tok_sel = jnp.where(done_b[:, None], cfg.pad_id, tok_sel)
 
                 # --- done (early_stopping=False): k hypotheses banked AND
-                # the best attainable continuation cannot beat the worst
+                # the best attainable continuation cannot beat the worst.
+                # HF's heuristic scores the best RUNNING beam (post-refill,
+                # stops excluded) at the current generated length — with
+                # several stop ids the best raw candidate is often a stop,
+                # and using it here would keep banking past the point HF
+                # froze the row (divergence found by multi-stop parity).
                 worst_fin = fin_scores[:, k - 1]
-                best_possible = s2k[:, 0] / jnp.maximum(i + 1.0, 1.0) ** lp
+                best_possible = (alive_scores[:, 0]
+                                 / jnp.maximum(i + 1.0, 1.0) ** lp)
                 done_b = done_b | ((worst_fin > NEG_INF / 2)
                                    & (worst_fin >= best_possible))
 

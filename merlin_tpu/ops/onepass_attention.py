@@ -281,8 +281,6 @@ def _onepass_fwd(q, k, v, *, scale: float, kv_len: int, emit_lse: bool,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _onepass(q, k, v, scale):
-    import os
-
     sq = q.shape[1]
     sq_pad = _primal_pad(sq)
     qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))

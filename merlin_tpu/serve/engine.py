@@ -44,7 +44,10 @@ class Request:
     input_ids: np.ndarray          # (prompt_len,)
     max_new_tokens: int = 128
     temperature: float = 0.0
-    emit: Optional[Callable[[int, bool], None]] = None  # (token, done)
+    # streaming callback (token, done). A NEGATIVE token is the error
+    # sentinel: the request failed (``error`` holds the message), done is
+    # True, and the token must not be decoded as text.
+    emit: Optional[Callable[[int, bool], None]] = None
 
     # filled by the engine
     generated: List[int] = dataclasses.field(default_factory=list)
@@ -245,7 +248,7 @@ class ServingEngine:
                     req.done = True
                     req.error = str(e)
                     if req.emit:
-                        req.emit(self.pad_id, True)
+                        req.emit(-1, True)  # error sentinel (see Request)
             mask = jnp.asarray(ids != self.pad_id)
             small = init_kv_cache(
                 self.lm_cfg, 1, max_len=ids.shape[1], layout="paged",

@@ -168,6 +168,11 @@ class ModelWorker:
                 collected = []
                 while True:
                     t, done = token_q.get(timeout=600)
+                    if t < 0:  # engine error sentinel (see Request.emit)
+                        yield pack_chunk({
+                            "text": "request rejected by engine",
+                            "error_code": ErrorCode.WORKER_ERROR})
+                        return
                     collected.append(int(t))
                     out_text = tok.decode(collected,
                                           skip_special_tokens=True)

@@ -70,6 +70,40 @@ def test_beam_matches_hf_token_for_token(beams, new):
     np.testing.assert_array_equal(ours, want)
 
 
+def test_beam_matches_hf_with_multiple_stop_ids():
+    """Several stop ids shrink the usable candidate pool: with HF's
+    max(2, 1+n_eos)*k sizing the refill can never be starved of non-stop
+    candidates. Regression for the fixed-2k pool."""
+    hf, model, params = _hf_and_ours(seed=5)
+    ids = np.random.default_rng(7).integers(3, V, size=(2, 6))
+    eos = _pick_reachable_eos(hf, ids)
+    # the reachable eos plus a spread of likely next tokens as extra stops
+    with torch.no_grad():
+        logits = hf(torch.tensor(ids)).logits[:, -1]
+    extra = [int(t) for t in torch.topk(logits[0], 4).indices if int(t) != eos][:3]
+    stops = [eos] + extra
+
+    with torch.no_grad():
+        theirs = hf.generate(
+            torch.tensor(ids), num_beams=3, max_new_tokens=6,
+            do_sample=False, eos_token_id=stops, pad_token_id=PAD,
+            early_stopping=False, length_penalty=1.0).numpy()[:, ids.shape[1]:]
+
+    beam = BeamSearch(model, GenerateConfig(
+        max_new_tokens=6, num_beams=3, eos_id=eos, pad_id=PAD,
+        stop_token_ids=tuple(extra), cache_dtype=jnp.float32))
+    ours = beam(params, ids)
+    # HF fills finished rows with eos_token_id[0] when pad_token_id=0
+    # (`pad_token_id or eos_token_id[0]` treats 0 as unset) — compare each
+    # row only up to its first stop token
+    for r in range(ids.shape[0]):
+        row = theirs[r]
+        end = next((j for j, t in enumerate(row) if int(t) in stops),
+                   len(row) - 1)
+        np.testing.assert_array_equal(ours[r, :end + 1], row[:end + 1])
+        assert (ours[r, end + 1:] == PAD).all()
+
+
 class _SplicedLM:
     """Mimics the MMGPT composition for the beam path: <patch> token
     positions are replaced with fixed feature vectors at embedding level

@@ -145,7 +145,7 @@ def test_engine_oversized_prompt_fails_request_only(model_params):
     ok = engine.submit([5, 17, 33, 41], max_new_tokens=6)
     engine.run_until_idle()
     assert big.done and big.error and "pages_per_seq" in big.error
-    assert events == [(PAD, True)]
+    assert events == [(-1, True)]  # error sentinel, not a decodable token
     assert ok.generated == _reference(model, params, [5, 17, 33, 41], 6)
 
 

@@ -65,7 +65,12 @@ def fake_s3(monkeypatch):
     monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKTEST")
     monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SECRET")
     monkeypatch.setenv("AWS_ENDPOINT_URL", "https://oss.example")
-    return store, recorded
+    # the credential-keyed client cache would otherwise hand a previous
+    # test's client (bound to ITS store dict) to this test
+    from merlin_tpu.data import storage
+    storage._CLIENT_CACHE.clear()
+    yield store, recorded
+    storage._CLIENT_CACHE.clear()
 
 
 def test_smart_open_s3_credentials_and_bytes(fake_s3):
@@ -111,6 +116,20 @@ def test_list_keys_glob_and_pagination(fake_s3):
     store[("bkt", "data/readme.md")] = b""
     out = list_keys("s3://bkt/data/part-*.tar")
     assert out == [f"s3://bkt/data/part-{i}.tar" for i in range(5)]
+
+
+def test_list_keys_glob_does_not_cross_slash(fake_s3):
+    """``*`` must stop at '/' (fs.glob/megfile semantics) — fnmatch would
+    let data/*.tar swallow data/sub/x.tar. ``**`` opts back in."""
+    from merlin_tpu.data.storage import list_keys
+
+    store, _ = fake_s3
+    store[("bkt", "data/a.tar")] = b""
+    store[("bkt", "data/sub/b.tar")] = b""
+    assert list_keys("s3://bkt/data/*.tar") == ["s3://bkt/data/a.tar"]
+    assert list_keys("s3://bkt/data/**.tar") == [
+        "s3://bkt/data/a.tar", "s3://bkt/data/sub/b.tar"]
+    assert list_keys("s3://bkt/data/?.tar") == ["s3://bkt/data/a.tar"]
 
 
 def test_registry_spec_expands_s3_glob(fake_s3):
