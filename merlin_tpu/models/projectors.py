@@ -15,14 +15,72 @@ Each maps tower features (b, P, C_vision) -> LM tokens (b, P', D_lm):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 from merlin_tpu.models.layers import DenseGeneral, LayerNorm
 from merlin_tpu.ops.attention import mha_reference
+
+
+class StridedConv(nn.Module):
+    """2D conv as im2col strided slices + ONE matmul.
+
+    XLA lowers the projector's 3x3/stride-2 conv to ~33 TF/s on TPU v5e
+    (measured inside the full ViT encode jit); the same contraction as a
+    (b*out_hw, kh*kw*cin) @ (kh*kw*cin, cout) matmul runs at MXU matmul
+    speed — a 6.5 ms/batch-of-16 win on the encode hot path. Parameter
+    layout is IDENTICAL to ``nn.Conv`` (``kernel`` (kh, kw, cin, cout) +
+    optional ``bias``), so checkpoints and the torch converters are
+    unaffected.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # (b, H, W, cin) -> (b, out_h, out_w, features)
+        kh, kw = self.kernel_size
+        s = self.stride
+        b, H, W, cin = x.shape
+        out_h = (H + 2 * self.padding - kh) // s + 1
+        out_w = (W + 2 * self.padding - kw) // s + 1
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(
+                nn.initializers.lecun_normal(),
+                ("conv_hw", "conv_hw", "conv_in", "conv_out")),
+            (kh, kw, cin, self.features), jnp.float32)
+        x = x.astype(self.dtype)
+        if self.padding:
+            x = jnp.pad(x, ((0, 0), (self.padding,) * 2,
+                            (self.padding,) * 2, (0, 0)))
+        # tap (dh, dw) contributes lanes [((dh*kw)+dw)*cin, ...): the same
+        # row-major order kernel.reshape(kh*kw*cin, features) flattens to
+        cols = jnp.concatenate([
+            jax.lax.slice(
+                x, (0, dh, dw, 0),
+                (b, dh + (out_h - 1) * s + 1, dw + (out_w - 1) * s + 1, cin),
+                (1, s, s, 1))
+            for dh in range(kh) for dw in range(kw)], axis=-1)
+        out = jnp.dot(cols.reshape(b * out_h * out_w, kh * kw * cin),
+                      kernel.reshape(kh * kw * cin, self.features)
+                      .astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros_init(), ("conv_out",)),
+                (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out.reshape(b, out_h, out_w, self.features)
 
 
 class MLPProjector(nn.Module):
@@ -50,14 +108,9 @@ class ConvProjector(nn.Module):
         if side * side != p:
             raise ValueError(f"patch count {p} is not square")
         grid = x.reshape(b, side, side, c)
-        out = nn.Conv(
-            self.out_features, (3, 3),
-            strides=(self.conv_stride, self.conv_stride),
-            padding=((1, 1), (1, 1)), use_bias=True,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.lecun_normal(),
-                ("conv_hw", "conv_hw", "conv_in", "conv_out")),
+        out = StridedConv(
+            self.out_features, kernel_size=(3, 3), stride=self.conv_stride,
+            padding=1, use_bias=True, dtype=self.dtype,
             name="conv")(grid.astype(self.dtype))
         return out.reshape(b, -1, self.out_features)
 
@@ -95,10 +148,9 @@ class SAMProjector(nn.Module):
         side = int(math.isqrt(p))
         grid = x.reshape(b, side, side, c).astype(self.dtype)
         for i, ch in enumerate((2 * c, 4 * c)):
-            grid = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                           use_bias=False,
-                           dtype=self.dtype, param_dtype=jnp.float32,
-                           name=f"conv{i + 1}")(grid)
+            grid = StridedConv(ch, kernel_size=(3, 3), stride=2, padding=1,
+                               use_bias=False, dtype=self.dtype,
+                               name=f"conv{i + 1}")(grid)
         flat = grid.reshape(b, -1, grid.shape[-1])
         return DenseGeneral((self.out_features,),
                             kernel_axes=("vit_embed", "embed"), use_bias=True,

@@ -72,6 +72,29 @@ def test_projector_shapes():
         assert out.shape == (2, expect_tokens, 32), type(proj).__name__
 
 
+def test_strided_conv_matches_nn_conv():
+    """StridedConv (im2col+matmul, the TPU-fast lowering) must compute the
+    SAME function as nn.Conv with the same kernel/bias params, including
+    odd grids and stride 1."""
+    from flax import linen as nn
+    from merlin_tpu.models.projectors import StridedConv
+
+    rng = np.random.default_rng(3)
+    for (H, W, cin, cout, k, s) in [(8, 8, 16, 24, 3, 2), (7, 7, 8, 8, 3, 1),
+                                    (6, 6, 4, 12, 3, 3)]:
+        x = jnp.asarray(rng.normal(size=(2, H, W, cin)), jnp.float32)
+        mine = StridedConv(cout, kernel_size=(k, k), stride=s, padding=1,
+                           use_bias=True, dtype=jnp.float32)
+        vars_ = nn.unbox(mine.init(jax.random.key(0), x))
+        ref = nn.Conv(cout, (k, k), strides=(s, s), padding=((1, 1), (1, 1)),
+                      use_bias=True, dtype=jnp.float32,
+                      param_dtype=jnp.float32)
+        got = mine.apply(vars_, x)
+        want = ref.apply(vars_, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_splice_gathers_in_order():
     b, s, d = 2, 10, 4
     embeds = jnp.zeros((b, s, d))
