@@ -194,9 +194,10 @@ class SAMImageEncoder(nn.Module):
                     param_dtype=jnp.float32, name="neck_conv1")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
                          param_dtype=jnp.float32, name="neck_ln1")(x)
-        x = nn.Conv(cfg.out_chans, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=cfg.dtype, param_dtype=jnp.float32,
-                    name="neck_conv2")(x)
+        from merlin_tpu.models.projectors import StridedConv
+        x = StridedConv(cfg.out_chans, kernel_size=(3, 3), stride=1,
+                        padding=1, use_bias=False, dtype=cfg.dtype,
+                        name="neck_conv2")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
                          param_dtype=jnp.float32, name="neck_ln2")(x)
         b = x.shape[0]
