@@ -95,6 +95,33 @@ def test_strided_conv_matches_nn_conv():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_strided_conv_grad_matches_nn_conv():
+    """StridedConv sits in the multimodal TRAIN path (projector fwd+bwd):
+    its VJP (matmul transpose + slice scatter) must match nn.Conv's."""
+    from flax import linen as nn
+    from merlin_tpu.models.projectors import StridedConv
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)), jnp.float32)
+    mine = StridedConv(10, kernel_size=(3, 3), stride=2, padding=1,
+                       use_bias=True, dtype=jnp.float32)
+    vars_ = nn.unbox(mine.init(jax.random.key(0), x))
+    ref = nn.Conv(10, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                  use_bias=True, dtype=jnp.float32, param_dtype=jnp.float32)
+
+    def loss(fn, v, x):
+        return jnp.sum(jnp.sin(fn.apply(v, x)))
+
+    gm_v, gm_x = jax.grad(lambda v, x: loss(mine, v, x), argnums=(0, 1))(
+        vars_, x)
+    gr_v, gr_x = jax.grad(lambda v, x: loss(ref, v, x), argnums=(0, 1))(
+        vars_, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5), gm_v, gr_v)
+    np.testing.assert_allclose(np.asarray(gm_x), np.asarray(gr_x),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_splice_gathers_in_order():
     b, s, d = 2, 10, 4
     embeds = jnp.zeros((b, s, d))
