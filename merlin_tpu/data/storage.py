@@ -51,6 +51,10 @@ def _split_s3(url: str) -> Tuple[str, str]:
     return bucket, key
 
 
+# single-entry cache {key: client}: boto3 clients are thread-safe and a
+# fresh Session per open() costs ~100ms of config/endpoint resolution.
+# Replaced (not appended) when credentials rotate — an STS token that
+# refreshes hourly must not accumulate dead clients + connection pools.
 _CLIENT_CACHE: Dict[Tuple[Optional[str], ...], object] = {}
 
 
@@ -58,8 +62,6 @@ def _boto3_client():
     import boto3  # gated: absent in CI, present on real TPU hosts
 
     creds = s3_credentials()
-    # one client per credential set: boto3 clients are thread-safe and a
-    # fresh Session per open() costs ~100ms of config/endpoint resolution
     cache_key = (creds["aws_access_key_id"], creds["aws_secret_access_key"],
                  creds["aws_session_token"], creds["endpoint_url"])
     client = _CLIENT_CACHE.get(cache_key)
@@ -69,6 +71,7 @@ def _boto3_client():
             aws_secret_access_key=creds["aws_secret_access_key"],
             aws_session_token=creds["aws_session_token"])
         client = session.client("s3", endpoint_url=creds["endpoint_url"])
+        _CLIENT_CACHE.clear()
         _CLIENT_CACHE[cache_key] = client
     return client
 
@@ -141,25 +144,40 @@ class _StreamingBodyFile(io.RawIOBase):
 
 def _glob_re(pattern: str) -> "re.Pattern":
     """Glob -> regex with path-glob semantics (``*``/``?`` stop at ``/``,
-    ``**`` crosses directories) — matches fs.glob/megfile.smart_glob;
-    fnmatch would let ``shards/*.tar`` swallow ``shards/sub/x.tar``."""
+    ``**`` crosses directories, matching ZERO components too:
+    ``a/**/b.tar`` matches ``a/b.tar``) — matches fs.glob/
+    megfile.smart_glob; fnmatch would let ``shards/*.tar`` swallow
+    ``shards/sub/x.tar``."""
     out, i = [], 0
     while i < len(pattern):
         ch = pattern[i]
         if ch == "*":
             if pattern[i:i + 2] == "**":
-                out.append(".*")
-                i += 2
+                if pattern[i:i + 3] == "**/":
+                    # globstar + separator as one unit so zero components
+                    # match ('a/**/b' ~ 'a/b'), like fs.glob
+                    out.append("(?:.*/)?")
+                    i += 3
+                else:
+                    out.append(".*")
+                    i += 2
                 continue
             out.append("[^/]*")
         elif ch == "?":
             out.append("[^/]")
         elif ch == "[":
-            j = pattern.find("]", i + 1)
+            # fnmatch.translate-style class scan: a ']' (optionally after
+            # the '!' negation) in first position is a literal member
+            j = i + 1
+            if j < len(pattern) and pattern[j] == "!":
+                j += 1
+            if j < len(pattern) and pattern[j] == "]":
+                j += 1
+            j = pattern.find("]", j)
             if j == -1:
                 out.append(re.escape(ch))
             else:
-                body = pattern[i + 1:j]
+                body = pattern[i + 1:j].replace("\\", "\\\\")
                 if body.startswith("!"):
                     body = "^" + body[1:]
                 out.append("[" + body + "]")
@@ -196,15 +214,16 @@ def list_keys(url: str) -> List[str]:
         return ["s3://" + p for p in sorted(fs.glob(f"{bucket}/{key}"))]
     keys: List[str] = []
     token = None
+    rx = _glob_re(key) if cut < len(key) else None
     while True:
         kw = {"Bucket": bucket, "Prefix": prefix}
         if token:
             kw["ContinuationToken"] = token
         resp = client.list_objects_v2(**kw)
         for item in resp.get("Contents", []):
-            if cut == len(key) and item["Key"] != key:
+            if rx is None and item["Key"] != key:
                 continue  # exact-key listing
-            if cut < len(key) and not _glob_re(key).match(item["Key"]):
+            if rx is not None and not rx.match(item["Key"]):
                 continue
             keys.append(f"s3://{bucket}/{item['Key']}")
         if not resp.get("IsTruncated"):

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from merlin_tpu.models.layers import DenseGeneral, SimpleMLP
+from merlin_tpu.models.projectors import StridedConv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,7 +195,6 @@ class SAMImageEncoder(nn.Module):
                     param_dtype=jnp.float32, name="neck_conv1")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
                          param_dtype=jnp.float32, name="neck_ln1")(x)
-        from merlin_tpu.models.projectors import StridedConv
         x = StridedConv(cfg.out_chans, kernel_size=(3, 3), stride=1,
                         padding=1, use_bias=False, dtype=cfg.dtype,
                         name="neck_conv2")(x)

@@ -130,6 +130,25 @@ def test_list_keys_glob_does_not_cross_slash(fake_s3):
     assert list_keys("s3://bkt/data/**.tar") == [
         "s3://bkt/data/a.tar", "s3://bkt/data/sub/b.tar"]
     assert list_keys("s3://bkt/data/?.tar") == ["s3://bkt/data/a.tar"]
+    # globstar matches ZERO components too (fs.glob semantics): a/**/x
+    # must find both data/a.tar and data/sub/a.tar-level keys
+    assert list_keys("s3://bkt/data/**/a.tar") == ["s3://bkt/data/a.tar"]
+    assert list_keys("s3://bkt/data/**/b.tar") == ["s3://bkt/data/sub/b.tar"]
+
+
+def test_glob_re_character_classes():
+    """fnmatch-compatible class parsing: leading ']' is a literal member,
+    '!' negates, backslashes in the body stay literal."""
+    from merlin_tpu.data.storage import _glob_re
+
+    assert _glob_re("data/[]].tar").match("data/].tar")
+    assert _glob_re("data/[!x].tar").match("data/a.tar")
+    assert not _glob_re("data/[!x].tar").match("data/x.tar")
+    assert _glob_re("data/[ab]/c.tar").match("data/a/c.tar")
+    assert not _glob_re("data/[ab]/c.tar").match("data/z/c.tar")
+    assert _glob_re("a/**/b/c.tar").match("a/b/c.tar")
+    assert _glob_re("a/**/b/c.tar").match("a/x/y/b/c.tar")
+    assert not _glob_re("a/**/b/c.tar").match("a/c.tar")
 
 
 def test_registry_spec_expands_s3_glob(fake_s3):
