@@ -1,1 +1,2 @@
 from merlin_tpu.generate.decode import GenerateConfig, Generator
+from merlin_tpu.generate.speculative import SpeculativeGenerator
