@@ -216,6 +216,44 @@ def bench_train_step():
             8 * n_params * tokens / dt / peak)
 
 
+def bench_speculative(draft_len: int = 4, T: int = 64):
+    """Prompt-lookup speculative decode vs plain greedy at a 1.9B-class
+    decoder (8 vicuna-width layers — the largest config the multi-token
+    forward compiles at on one chip; 7B bf16 is gated by XLA's ~3 GB
+    weight-relayout scratch, see generate/speculative.py). Returns
+    (speedup, tokens_per_window) on random weights — a LOWER bound:
+    random short-loop continuations accept less than real text echoes."""
+    import dataclasses
+    from merlin_tpu.models.decoder import CausalLM
+    from merlin_tpu.models.families import vicuna_7b
+    from merlin_tpu.generate.decode import GenerateConfig, Generator
+    from merlin_tpu.generate.speculative import SpeculativeGenerator
+
+    cfg = dataclasses.replace(vicuna_7b(), num_layers=8, dtype=jnp.bfloat16)
+    model = CausalLM(cfg)
+    params = materialize_bf16_params(model, jnp.zeros((1, 8), jnp.int32))
+    jax.block_until_ready(params)
+    gcfg = GenerateConfig(max_new_tokens=T, do_sample=False, eos_id=-1,
+                          pad_id=0)
+    ids = np.random.default_rng(0).integers(
+        10, 31000, size=(1, PREFILL)).astype(np.int32)
+
+    gen = Generator(model, gcfg)
+    out = gen(params, ids)
+    _ = out.sum()
+    t0 = time.perf_counter()
+    out = gen(params, ids)
+    _ = out.sum()
+    t_plain = time.perf_counter() - t0
+
+    spec = SpeculativeGenerator(model, gcfg, draft_len=draft_len, ngram=2)
+    got, nw, g = spec(params, ids)
+    t0 = time.perf_counter()
+    got, nw, g = spec(params, ids)
+    t_spec = time.perf_counter() - t0
+    return t_plain / t_spec, float(int(g[0]) / max(nw, 1))
+
+
 def bench_train_multimodal(remat: bool = True, batch: int = 4):
     """FULL multimodal training step on the chip (SURVEY §3.1 hot path):
     uint8 images -> fused normalize -> ViT-L/14-448 -> conv projector ->
@@ -543,6 +581,10 @@ def main():
         # whole run can sit in one state — sample a third time region
         ("vit_midtime",
          lambda: update_vit(bench_vit_encode(windows=2, gap_s=20.0))),
+        ("speculative", lambda: (lambda r: details.update(
+            speculative_decode_speedup_random=round(r[0], 2),
+            speculative_tokens_per_window=round(r[1], 2)))(
+            bench_speculative())),
         # serving LAST: largest params + several prefill-bucket compiles;
         # a driver timeout here must not starve the sections above
         ("serving", lambda: (lambda r: details.update(
