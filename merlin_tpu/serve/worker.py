@@ -42,10 +42,17 @@ class ModelWorker:
                  conv_template: str = "v1",
                  use_engine: bool = False, engine_slots: int = 4,
                  engine_max_len: int = 2048, engine_chunk_steps: int = 8,
-                 engine_pipeline: int = 1, engine_cache_dtype=None):
+                 engine_pipeline: int = 1, engine_cache_dtype=None,
+                 speculative: int = 0):
         from merlin_tpu.eval.runner import EvalConfig, EvalModel
 
         self.bundle = bundle
+        # prompt-lookup speculative decode for GREEDY per-request decodes
+        # (generate/speculative.py); 0 = off. Responses arrive as one
+        # final chunk instead of token-streaming — the speed trade the
+        # flag opts into.
+        self.speculative = max(int(speculative), 0)
+        self._spec_gens = {}
         self.worker_address = worker_address
         self.controller_address = controller_address
         self.model_names = model_names or ["merlin-tpu"]
@@ -182,12 +189,37 @@ class ModelWorker:
                     if done or hit:
                         return
 
+            imgs = self._model.preprocess_images(images)
+            kwargs = {"images": jnp.asarray(imgs)} if imgs is not None else {}
+
+            if self.speculative and temperature <= 1e-4:
+                # greedy-exact speculative decode: same tokens, fewer
+                # forwards; emitted as one final chunk
+                from merlin_tpu.generate.speculative import (
+                    SpeculativeGenerator)
+
+                key = max_new
+                spec = self._spec_gens.get(key)
+                if spec is None:
+                    spec = SpeculativeGenerator(
+                        self.bundle.model,
+                        GenerateConfig(max_new_tokens=max_new,
+                                       do_sample=False,
+                                       eos_id=tok.eos_token_id,
+                                       pad_id=tok.pad_token_id),
+                        draft_len=self.speculative)
+                    self._spec_gens[key] = spec
+                out, _, gen_len = spec(self.bundle.params, ids, **kwargs)
+                toks = [int(t) for t in out[0][:int(gen_len[0])]]
+                text = tok.decode(toks, skip_special_tokens=True)
+                text = truncate_at_keywords(text, [stop])
+                yield pack_chunk({"text": text, "error_code": 0})
+                return
+
             gen = Generator(self.bundle.model, GenerateConfig(
                 max_new_tokens=max_new, do_sample=temperature > 1e-4,
                 temperature=max(temperature, 1e-4),
                 eos_id=tok.eos_token_id, pad_id=tok.pad_token_id))
-            imgs = self._model.preprocess_images(images)
-            kwargs = {"images": jnp.asarray(imgs)} if imgs is not None else {}
 
             collected: List[int] = []
             for step_tokens in gen.stream(
@@ -249,14 +281,15 @@ def serve(bundle, *, host: str = "0.0.0.0", port: int = 21002,
           use_engine: bool = False, engine_slots: int = 4,
           engine_max_len: int = 2048, engine_chunk_steps: int = 8,
           engine_pipeline: int = 1,
-          engine_cache_dtype=None) -> ThreadingHTTPServer:
+          engine_cache_dtype=None,
+          speculative: int = 0) -> ThreadingHTTPServer:
     worker = ModelWorker(
         bundle, worker_address=f"http://{host}:{port}",
         controller_address=controller_address, model_names=model_names,
         use_engine=use_engine, engine_slots=engine_slots,
         engine_max_len=engine_max_len, engine_chunk_steps=engine_chunk_steps,
         engine_pipeline=engine_pipeline,
-        engine_cache_dtype=engine_cache_dtype)
+        engine_cache_dtype=engine_cache_dtype, speculative=speculative)
     server = ThreadingHTTPServer((host, port), make_handler(worker))
     server.worker = worker
     return server
@@ -287,6 +320,13 @@ def main():
     p.add_argument("--engine-cache-dtype", default=None,
                    choices=[None, "bf16", "int8", "f32"],
                    help="int8 halves KV pool memory (per-token-head scales)")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="prompt-lookup speculative decode with K-token "
+                        "drafts for greedy requests (exact same tokens, "
+                        "fewer forwards; response arrives as one chunk "
+                        "instead of streaming). Needs params to fit "
+                        "beside ~3 GB of XLA relayout scratch — see "
+                        "generate/speculative.py")
     p.add_argument("--scan-decode", action="store_true",
                    help="scan the LM layer stack: ONE paged-attention "
                         "kernel instance serves every layer (minutes "
@@ -306,7 +346,8 @@ def main():
                    engine_max_len=targs.model_max_length,
                    engine_chunk_steps=args.engine_chunk_steps,
                    engine_pipeline=args.engine_pipeline,
-                   engine_cache_dtype=args.engine_cache_dtype)
+                   engine_cache_dtype=args.engine_cache_dtype,
+                   speculative=args.speculative)
     logger.info("worker listening on %s:%d", args.host, args.port)
     server.serve_forever()
 

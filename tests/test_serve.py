@@ -138,6 +138,28 @@ def test_engine_backed_worker_streams(tiny_bundle):
         worker.stop()
 
 
+def test_speculative_worker_matches_plain_text(tiny_bundle):
+    """--speculative K worker: greedy responses carry the SAME final text
+    as the plain per-token path (speculative decode is greedy-exact),
+    delivered as one chunk."""
+    req = {"prompt": "hello there", "temperature": 0.0,
+           "max_new_tokens": 6, "stop": "</s>"}
+    plain = worker_mod.ModelWorker(
+        tiny_bundle, worker_address="local", controller_address=None)
+    want = json.loads(list(plain.generate_stream(dict(req)))[-1][:-1])["text"]
+    plain.stop()
+
+    spec = worker_mod.ModelWorker(
+        tiny_bundle, worker_address="local", controller_address=None,
+        speculative=3)
+    chunks = list(spec.generate_stream(dict(req)))
+    spec.stop()
+    assert len(chunks) == 1  # one-shot delivery
+    got = json.loads(chunks[0][:-1])
+    assert got["error_code"] == 0
+    assert got["text"] == want
+
+
 # --- web UI server (gradio_web_server parity features) ----------------------
 
 def test_template_for_model():
