@@ -32,6 +32,10 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--merge-chunks", action="store_true",
                    help="tracking: aggregate chunk pickles, no model run")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="greedy-exact prompt-lookup speculative decode "
+                        "with K-token drafts (greedy single-beam runs "
+                        "only; see generate/speculative.py)")
     args, rest = p.parse_known_args(argv)
     margs, dargs, targs = parse_args(rest)
     logger = setup_logger(None, 0)
@@ -46,9 +50,11 @@ def main(argv: Optional[Sequence[str]] = None):
     bundle = build_model_tokenizer(margs, dargs, targs, tiny=args.tiny)
     init_or_load_params(bundle, composite_checkpoint=margs.pretrain_model)
 
+    use_spec = (args.speculative and not dargs.use_beam_search)
     cfg = EvalConfig(num_beams=5 if dargs.use_beam_search else 1,
-                     do_sample=not dargs.use_beam_search,
-                     image_aspect_ratio=dargs.image_aspect_ratio)
+                     do_sample=not dargs.use_beam_search and not use_spec,
+                     image_aspect_ratio=dargs.image_aspect_ratio,
+                     speculative=args.speculative if use_spec else 0)
     out = dargs.eval_output or f"output/{args.benchmark}.json"
 
     if args.benchmark == "mmbench":

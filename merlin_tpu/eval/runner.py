@@ -30,6 +30,12 @@ class EvalConfig:
     conv_template: str = "v1"
     image_aspect_ratio: str = "resize"
     language: str = "en"
+    # greedy-exact prompt-lookup speculative decode with K-token drafts
+    # (generate/speculative.py); 0 = off. Greedy single-beam only —
+    # big win on frame loops like the LaSOT tracking eval whose answers
+    # echo box-trajectory text. Needs params to fit beside XLA's
+    # multi-token relayout scratch (fine below ~12 GB per chip).
+    speculative: int = 0
 
 
 class EvalModel:
@@ -47,6 +53,14 @@ class EvalModel:
             pad_id=self.tokenizer.pad_token_id)
         if eval_cfg.num_beams > 1:
             self._engine = BeamSearch(bundle.model, gen_cfg)
+        elif eval_cfg.speculative and not eval_cfg.do_sample:
+            from merlin_tpu.generate.speculative import SpeculativeGenerator
+
+            spec = SpeculativeGenerator(bundle.model, gen_cfg,
+                                        draft_len=eval_cfg.speculative)
+            # same (params, ids, ...) -> (b, T) tokens surface as the
+            # Generator: drop the window metrics, ignore rng (greedy)
+            self._engine = (lambda *a, rng=None, **kw: spec(*a, **kw)[0])
         else:
             self._engine = Generator(bundle.model, gen_cfg)
 

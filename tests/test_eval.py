@@ -146,6 +146,31 @@ def test_eval_model_ask_smoke():
     assert prompt.endswith("ASSISTANT:")
 
 
+def test_eval_model_speculative_matches_plain():
+    """EvalConfig(speculative=K) answers EXACTLY like the plain greedy
+    path — with and without an image."""
+    from merlin_tpu.eval.runner import EvalConfig, EvalModel
+    from merlin_tpu.models.builder import (
+        build_model_tokenizer, init_or_load_params)
+    from merlin_tpu.train.arguments import (
+        DataArguments, ModelArguments, TrainingArguments)
+    from PIL import Image
+
+    bundle = build_model_tokenizer(
+        ModelArguments(), DataArguments(image_size=16),
+        TrainingArguments(gradient_checkpointing=False, model_max_length=128),
+        tiny=True)
+    init_or_load_params(bundle)
+    plain = EvalModel(bundle, EvalConfig(max_new_tokens=6))
+    spec = EvalModel(bundle, EvalConfig(max_new_tokens=6, speculative=3))
+    img = Image.new("RGB", (32, 32), (10, 200, 90))
+    for q, imgs in [("track the object", [img]), ("hello", [])]:
+        assert spec.ask(q, imgs) == plain.ask(q, imgs), (q, len(imgs))
+    got = spec.ask_batch(["a question", "another longer question here"])
+    want = plain.ask_batch(["a question", "another longer question here"])
+    assert got == want
+
+
 def test_eval_model_beam_smoke():
     from merlin_tpu.eval.runner import EvalConfig, EvalModel
     from merlin_tpu.models.builder import (
