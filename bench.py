@@ -251,7 +251,8 @@ def bench_speculative(draft_len: int = 4, T: int = 64):
     t0 = time.perf_counter()
     got, nw, g = spec(params, ids)
     t_spec = time.perf_counter() - t0
-    return t_plain / t_spec, float(int(g[0]) / max(nw, 1))
+    # the first token comes from prefill logits, not a verify window
+    return t_plain / t_spec, float((int(g[0]) - 1) / max(nw, 1))
 
 
 def bench_train_multimodal(remat: bool = True, batch: int = 4):

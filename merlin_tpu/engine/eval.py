@@ -51,6 +51,12 @@ def main(argv: Optional[Sequence[str]] = None):
     init_or_load_params(bundle, composite_checkpoint=margs.pretrain_model)
 
     use_spec = (args.speculative and not dargs.use_beam_search)
+    if use_spec:
+        # speculative is greedy-exact vs GREEDY decoding — it also turns
+        # sampling OFF, which changes answers vs a default (sampled) run
+        logger.warning("--speculative forces greedy decoding "
+                       "(do_sample=False); scores are comparable to other "
+                       "greedy runs, not to sampled ones")
     cfg = EvalConfig(num_beams=5 if dargs.use_beam_search else 1,
                      do_sample=not dargs.use_beam_search and not use_spec,
                      image_aspect_ratio=dargs.image_aspect_ratio,

@@ -198,19 +198,40 @@ class ModelWorker:
                 from merlin_tpu.generate.speculative import (
                     SpeculativeGenerator)
 
-                key = max_new
+                # bucket the token budget so client-chosen max_new values
+                # cannot mint unbounded cached generators/compiles; the
+                # output is sliced back to the requested budget (greedy:
+                # identical prefix)
+                bucket = 32
+                while bucket < max_new and bucket < 2048:
+                    bucket *= 2
+                # a single-token stop keyword can stop INSIDE the jitted
+                # loop (multi-token keywords fall back to post-truncation
+                # and pay the full budget — the latency trade this flag
+                # opts into)
+                stop_ids = ()
+                if stop:
+                    enc = tok(stop, add_special_tokens=False)["input_ids"]
+                    enc = enc[0] if enc and isinstance(enc[0], list) else enc
+                    if len(enc) == 1 and enc[0] != tok.eos_token_id:
+                        stop_ids = (int(enc[0]),)
+                key = (bucket, stop_ids)
                 spec = self._spec_gens.get(key)
                 if spec is None:
                     spec = SpeculativeGenerator(
                         self.bundle.model,
-                        GenerateConfig(max_new_tokens=max_new,
+                        GenerateConfig(max_new_tokens=bucket,
                                        do_sample=False,
                                        eos_id=tok.eos_token_id,
-                                       pad_id=tok.pad_token_id),
+                                       pad_id=tok.pad_token_id,
+                                       stop_token_ids=stop_ids),
                         draft_len=self.speculative)
+                    if len(self._spec_gens) >= 8:
+                        self._spec_gens.pop(next(iter(self._spec_gens)))
                     self._spec_gens[key] = spec
                 out, _, gen_len = spec(self.bundle.params, ids, **kwargs)
-                toks = [int(t) for t in out[0][:int(gen_len[0])]]
+                n = min(int(gen_len[0]), max_new)
+                toks = [int(t) for t in out[0][:n]]
                 text = tok.decode(toks, skip_special_tokens=True)
                 text = truncate_at_keywords(text, [stop])
                 yield pack_chunk({"text": text, "error_code": 0})

@@ -153,11 +153,16 @@ def test_speculative_worker_matches_plain_text(tiny_bundle):
         tiny_bundle, worker_address="local", controller_address=None,
         speculative=3)
     chunks = list(spec.generate_stream(dict(req)))
-    spec.stop()
     assert len(chunks) == 1  # one-shot delivery
     got = json.loads(chunks[0][:-1])
     assert got["error_code"] == 0
     assert got["text"] == want
+    # generator cache is bucketed: different small budgets share one
+    # compiled generator (client-chosen max_new cannot mint unbounded
+    # cached executables)
+    list(spec.generate_stream(dict(req, max_new_tokens=9)))
+    assert len(spec._spec_gens) == 1
+    spec.stop()
 
 
 # --- web UI server (gradio_web_server parity features) ----------------------

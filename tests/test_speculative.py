@@ -71,9 +71,10 @@ def test_speculative_matches_greedy_with_eos_mid_batch():
 
 
 class _CycleLM:
-    """Deterministic next-token function next = (prev * 3 + 1) % 32 + 64:
-    enters a short cycle, so prompt-lookup drafts become perfect and
-    every window advances draft_len+1 tokens."""
+    """Deterministic next-token function next = (prev + 1) % 4 + 64: the
+    4-cycle makes bigram history repeat almost immediately, so
+    prompt-lookup drafts become perfect and windows advance
+    draft_len+1 tokens after a short discovery ramp."""
 
     def __init__(self, real):
         self._real = real
