@@ -225,17 +225,6 @@ class Attention(nn.Module):
             vs = layer_cache.get("v_scales")
             s_q = q.shape[1]
             if s_q == 1:
-                if q8:
-                    from merlin_tpu.ops.paged_attention import (
-                        write_token_to_pages_q8)
-
-                    kp, ks, vp, vs = write_token_to_pages_q8(
-                        kp, ks, vp, vs, k[:, 0], v[:, 0],
-                        positions=lengths, page_tables=tables)
-                else:
-                    kp, vp = write_token_to_pages(
-                        kp, vp, k[:, 0], v[:, 0], positions=lengths,
-                        page_tables=tables)
                 # MERLIN_PAGED_DECODE=xla routes through the gather+dense
                 # reference: each Pallas kernel instance costs ~12s in the
                 # AOT compile helper (no content dedup), so a 32-layer
@@ -245,40 +234,102 @@ class Attention(nn.Module):
                 # path trades that for ~30x faster compiles. Default
                 # stays on the kernels (fastest steady state).
                 impl = os.environ.get("MERLIN_PAGED_DECODE", "pallas")
+                use_pallas = (jax.default_backend() == "tpu"
+                              and impl == "pallas")
                 mha = q.shape[2] == hkv
-                if jax.default_backend() == "tpu" and impl == "pallas":
-                    if q8 and slopes is None and mha:
-                        from merlin_tpu.ops.paged_attention import (
-                            paged_attention_dma_q8)
+                has_slopes = slopes is not None
 
-                        step = paged_attention_dma_q8(
-                            q[:, 0], kp, ks, vp, vs, lengths + 1, tables)
-                    elif q8:
+                def token_step(q1, kp_, ks_, vp_, vs_, k1, v1, lens,
+                               tabs, slopes_):
+                    """Write one token's K/V and attend over the pages.
+                    Per-head parallel — under a tensor-sharded mesh this
+                    whole closure runs per head-shard via shard_map."""
+                    sl = slopes_ if has_slopes else None
+                    if q8:
                         from merlin_tpu.ops.paged_attention import (
-                            paged_attention_quantized)
+                            write_token_to_pages_q8)
 
-                        step = paged_attention_quantized(
-                            q[:, 0], kp, ks, vp, vs, lengths + 1, tables,
-                            alibi_slopes=slopes)
-                    elif slopes is None:
-                        from merlin_tpu.ops.paged_attention import (
-                            paged_attention_dma)
-
-                        step = paged_attention_dma(
-                            q[:, 0], kp, vp, lengths + 1, tables)
+                        kp_, ks_, vp_, vs_ = write_token_to_pages_q8(
+                            kp_, ks_, vp_, vs_, k1, v1,
+                            positions=lens, page_tables=tabs)
                     else:
-                        step = paged_attention(
-                            q[:, 0], kp, vp, lengths + 1, tables,
-                            alibi_slopes=slopes)
+                        kp_, vp_ = write_token_to_pages(
+                            kp_, vp_, k1, v1, positions=lens,
+                            page_tables=tabs)
+                    if use_pallas:
+                        if q8 and not has_slopes and mha:
+                            from merlin_tpu.ops.paged_attention import (
+                                paged_attention_dma_q8)
+
+                            step = paged_attention_dma_q8(
+                                q1, kp_, ks_, vp_, vs_, lens + 1, tabs)
+                        elif q8:
+                            from merlin_tpu.ops.paged_attention import (
+                                paged_attention_quantized)
+
+                            step = paged_attention_quantized(
+                                q1, kp_, ks_, vp_, vs_, lens + 1, tabs,
+                                alibi_slopes=sl)
+                        elif not has_slopes:
+                            from merlin_tpu.ops.paged_attention import (
+                                paged_attention_dma)
+
+                            step = paged_attention_dma(
+                                q1, kp_, vp_, lens + 1, tabs)
+                        else:
+                            step = paged_attention(
+                                q1, kp_, vp_, lens + 1, tabs,
+                                alibi_slopes=sl)
+                    else:
+                        from merlin_tpu.ops.paged_attention import (
+                            dequantize_pages, paged_attention_reference)
+                        kd, vd = ((dequantize_pages(kp_, ks_, d),
+                                   dequantize_pages(vp_, vs_, d))
+                                  if q8 else (kp_, vp_))
+                        step = paged_attention_reference(
+                            q1, kd, vd, lens + 1, tabs, alibi_slopes=sl)
+                    return step, kp_, ks_, vp_, vs_
+
+                # tensor-parallel serving: heads split over the mesh's
+                # tensor axis; pages are head-packed (head-major lanes),
+                # so a lane shard IS a head shard. Everything inside is
+                # per-head parallel — no collectives.
+                from merlin_tpu.core.mesh import get_global_mesh
+
+                mesh = get_global_mesh()
+                tp = mesh.shape.get("tensor", 1) if mesh is not None else 1
+                # q8 excluded: scale pages put head i at LANE i padded to
+                # 128, so a lane shard is not a head shard there
+                wrap = (tp > 1 and q.shape[2] % tp == 0 and hkv % tp == 0
+                        and not q8)
+                ks_in = ks if q8 else jnp.zeros((1, 1, 1), jnp.float32)
+                vs_in = vs if q8 else jnp.zeros((1, 1, 1), jnp.float32)
+                sl_in = (slopes if has_slopes
+                         else jnp.zeros((q.shape[2],), jnp.float32))
+                if wrap:
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    lane = P(None, None, "tensor")
+                    scale_spec = lane if q8 else P(None, None, None)
+                    head = P(None, "tensor", None)
+                    out_step, kp, ks_out, vp, vs_out = shard_map(
+                        token_step, mesh=mesh,
+                        in_specs=(head, lane, scale_spec, lane, scale_spec,
+                                  head, head, P(None), P(None, None),
+                                  P("tensor")),
+                        out_specs=(head, lane, scale_spec, lane,
+                                   scale_spec),
+                        check_vma=False,
+                    )(q[:, 0], kp, ks_in, vp, vs_in, k[:, 0], v[:, 0],
+                      lengths, tables, sl_in)
                 else:
-                    from merlin_tpu.ops.paged_attention import (
-                        dequantize_pages, paged_attention_reference)
-                    kd, vd = (dequantize_pages(kp, ks, d),
-                              dequantize_pages(vp, vs, d)) if q8 else (kp, vp)
-                    step = paged_attention_reference(
-                        q[:, 0], kd, vd, lengths + 1, tables,
-                        alibi_slopes=slopes)
-                out = step[:, None]
+                    out_step, kp, ks_out, vp, vs_out = token_step(
+                        q[:, 0], kp, ks_in, vp, vs_in, k[:, 0], v[:, 0],
+                        lengths, tables, sl_in)
+                if q8:
+                    ks, vs = ks_out, vs_out
+                out = out_step[:, None]
             else:
                 # prefill: bulk-write the prompt into the (identity-mapped)
                 # pages; attention is plain self-attention over the prompt.

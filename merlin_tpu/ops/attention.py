@@ -263,7 +263,7 @@ def attention(
             sharded, mesh=mesh,
             in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec, seg_spec,
                       P("tensor")),
-            out_specs=qkv_spec, check_rep=False,
+            out_specs=qkv_spec, check_vma=False,
         )(qp, kp, vp, segment_ids_q, segment_ids_kv, slopes)
     else:
         out = kernel(qp, kp, vp, segment_ids_q=segment_ids_q,
@@ -296,5 +296,5 @@ def _onepass_dispatch(q, k, v, *, scale):
 
         spec = P(("data", "fsdp"), None, "tensor", None)
         return shard_map(kernel, mesh=mesh, in_specs=(spec, spec, spec),
-                         out_specs=spec, check_rep=False)(q, k, v)
+                         out_specs=spec, check_vma=False)(q, k, v)
     return kernel(q, k, v)

@@ -66,7 +66,8 @@ class ServingEngine:
                  max_len: int = 2048, eos_id: int = 2, pad_id: int = 0,
                  prompt_bucket: int = 128, page_size: int = 128,
                  cache_dtype=jnp.bfloat16, rng_seed: int = 0,
-                 chunk_steps: int = 8, pipeline: int = 1):
+                 chunk_steps: int = 8, pipeline: int = 1,
+                 mesh=None, param_shardings=None):
         self.chunk_steps = max(int(chunk_steps), 1)
         # in-flight chunks whose tokens are synced one step late: reading
         # a chunk's result pays compute + the full host<->device round
@@ -81,6 +82,19 @@ class ServingEngine:
         self.pipeline = max(int(pipeline), 0)
         self._inflight: "collections.deque" = collections.deque()
         self.model = model
+        # --- tensor-parallel serving over a device mesh ----------------
+        # params shard per `param_shardings` (core/partitioning rules via
+        # sharding_for_tree); the paged pool shards its head-packed lane
+        # dim over 'tensor' (a lane shard IS a head shard); GSPMD + the
+        # decoder's shard_map'd paged token step do the rest. bf16 pools
+        # only (int8 scale pages are head==lane padded to 128).
+        self.mesh = mesh
+        if mesh is not None:
+            from merlin_tpu.core.mesh import set_global_mesh
+
+            set_global_mesh(mesh)  # gates the kernels' shard_map wrap
+            if param_shardings is not None:
+                params = jax.device_put(params, param_shardings)
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len
@@ -107,6 +121,22 @@ class ServingEngine:
         self._tables = np.zeros((num_slots, self.pages_per_slot), np.int32)
         self._tables_dirty = False
         self.cache["page_tables"] = jnp.asarray(self._tables)
+        if mesh is not None and mesh.shape.get("tensor", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self._cache_dtype == jnp.int8:
+                raise ValueError(
+                    "tensor-sharded serving supports bf16 pools only "
+                    "(int8 scale pages are head==lane padded to 128)")
+
+            def pool_shard(x):
+                # pages: (.., page, hkv*d) — lanes sharded; bookkeeping
+                # arrays (tables/lengths) replicated
+                spec = (P(*((None,) * (x.ndim - 1)), "tensor")
+                        if x.ndim >= 3 else P())
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            self.cache = jax.tree.map(pool_shard, self.cache)
 
         self.slots: List[Optional[Request]] = [None] * num_slots
         self._queue: "collections.deque[Request]" = collections.deque()
@@ -453,6 +483,11 @@ class ServingEngine:
         still resident when the next model loads."""
         import gc
 
+        if self.mesh is not None:
+            from merlin_tpu.core.mesh import get_global_mesh, set_global_mesh
+
+            if get_global_mesh() is self.mesh:
+                set_global_mesh(None)
         self.cache = None
         self.params = None
         self._prefill = self._insert = None

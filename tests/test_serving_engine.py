@@ -208,3 +208,43 @@ def test_engine_close_releases_buffers(model_params):
     assert engine._prefill is None and engine._decode is None
     assert engine._decode_chunk is None and engine._tokens_dev is None
     engine.close()  # idempotent
+
+
+def test_engine_tensor_sharded_matches_single(model_params):
+    """TP serving: params sharded by the logical rules, the paged pool's
+    head-packed lane dim sharded over 'tensor', the decoder's paged token
+    step running per head-shard via shard_map — outputs match the
+    unsharded reference path."""
+    model, params = model_params
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    from merlin_tpu.core.mesh import MeshConfig, create_mesh, get_global_mesh
+    from merlin_tpu.core.partitioning import sharding_for_tree
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=1, tensor=2),
+                       devices=jax.devices()[:2])
+    abstract = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.ones((1, 4), jnp.int32))
+    )["params"]
+    logical = nn.get_partition_spec(abstract)
+    shardings = sharding_for_tree(logical, mesh)
+
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.float32,
+                           mesh=mesh, param_shardings=shardings)
+    try:
+        assert get_global_mesh() is mesh
+        # the pool's lane dim actually landed sharded
+        kp = (engine.cache["layers"]["k_pages"]
+              if engine._stacked else engine.cache["layers"][0]["k_pages"])
+        assert not kp.sharding.is_fully_replicated
+        prompts = [[5, 17, 33, 41], [7, 9, 11], [23, 29]]
+        reqs = [engine.submit(p, max_new_tokens=6) for p in prompts]
+        engine.run_until_idle()
+        for req, prompt in zip(reqs, prompts):
+            assert req.generated == _reference(model, params, prompt, 6), \
+                (prompt, req.generated)
+    finally:
+        engine.close()
+    assert get_global_mesh() is None  # close() restores the global mesh
