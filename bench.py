@@ -216,6 +216,41 @@ def bench_train_step():
             8 * n_params * tokens / dt / peak)
 
 
+def bench_decode_int8_weights():
+    """7B decode with int8 weight-only kernels (per-out-channel scales):
+    the step is parameter-read-bound, so halving weight bytes roughly
+    halves the step floor (6.75 GB / 819 GB/s ~ 8.2 ms -> ~120 tok/s
+    ceiling vs 61 at bf16). Returns tokens/s."""
+    import dataclasses
+    from merlin_tpu.models.decoder import CausalLM
+    from merlin_tpu.models.families import vicuna_7b
+    from merlin_tpu.models.convert import quantize_decoder_params_int8
+    from merlin_tpu.generate.decode import GenerateConfig, Generator
+
+    cfg = dataclasses.replace(vicuna_7b(), dtype=jnp.bfloat16)
+    model = CausalLM(cfg)
+    params = materialize_bf16_params(model, jnp.zeros((1, 8), jnp.int32))
+    jax.block_until_ready(params)
+    qmodel = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
+    qparams = quantize_decoder_params_int8(params)
+    del params
+    jax.block_until_ready(qparams)
+
+    prompt = np.random.default_rng(0).integers(
+        10, 31000, size=(BATCH, PREFILL)).astype(np.int32)
+    gen = Generator(qmodel, GenerateConfig(
+        max_new_tokens=NEW_TOKENS, do_sample=False, eos_id=-1, pad_id=0))
+    out = gen(qparams, prompt)
+    _ = out.sum()
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = gen(qparams, prompt)
+        _ = out.sum()
+    dt = (time.perf_counter() - t0) / runs
+    return NEW_TOKENS * BATCH / dt
+
+
 def bench_speculative(draft_len: int = 4, T: int = 64):
     """Prompt-lookup speculative decode vs plain greedy at a 1.9B-class
     decoder (8 vicuna-width layers — the largest config the multi-token
@@ -586,6 +621,9 @@ def main():
             speculative_decode_speedup_random=round(r[0], 2),
             speculative_tokens_per_window=round(r[1], 2)))(
             bench_speculative())),
+        ("decode_int8w", lambda: details.update(
+            vicuna7b_decode_int8_weights_tokens_per_sec=round(
+                bench_decode_int8_weights(), 2))),
         # serving LAST: largest params + several prefill-bucket compiles;
         # a driver timeout here must not starve the sections above
         ("serving", lambda: (lambda r: details.update(

@@ -278,3 +278,24 @@ def _projector_params_from_torch(sd: Dict[str, np.ndarray],
             sd, dim=dim, num_heads=default_resampler_heads(dim))
     raise NotImplementedError(
         f"torch import for projector {cfg.projector!r} not implemented")
+
+
+def quantize_bundle_lm_int8(bundle: ModelBundle) -> ModelBundle:
+    """Serving-time weight-only quantization of the LM half of a bundle.
+
+    Rebuilds the model with ``weight_dtype='int8'`` on the decoder and
+    converts its kernels to int8 + per-output-channel scales (halving the
+    HBM reads that bound the decode step). The tower/projector stay full
+    precision (prefill-only, compute-bound). Returns a NEW bundle;
+    requires initialized/loaded params.
+    """
+    import dataclasses as _dc
+
+    from merlin_tpu.models.convert import quantize_decoder_params_int8
+
+    assert bundle.params is not None, "load params before quantizing"
+    lm_cfg = _dc.replace(bundle.config.lm, weight_dtype="int8")
+    cfg = _dc.replace(bundle.config, lm=lm_cfg)
+    params = dict(bundle.params)
+    params["lm"] = quantize_decoder_params_int8(params["lm"])
+    return _dc.replace(bundle, model=MMGPT(cfg), config=cfg, params=params)

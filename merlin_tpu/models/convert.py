@@ -94,6 +94,56 @@ def unstack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return p
 
 
+# modules whose kernels quantize for int8 weight-only serving, mapped to
+# the number of CONTRACTION (input) axes of their kernel; the remaining
+# trailing axes are output channels (one scale each). A leading stacked
+# layer axis (scan_layers trees: layers/block/...) is handled by position.
+_Q8_KERNELS = {"q_proj": 1, "k_proj": 1, "v_proj": 1, "o_proj": 2,
+               "gate_proj": 1, "up_proj": 1, "down_proj": 1, "lm_head": 1}
+
+
+def quantize_decoder_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Trained f32 decoder tree -> the ``weight_dtype='int8'`` tree.
+
+    Per-output-channel symmetric absmax quantization: each matmul kernel
+    becomes ``kernel_q8`` (int8) + ``kernel_scale`` (f32 over the output
+    dims), with y = (x @ q8) * scale == x @ (q8 * scale) exactly.
+    Embeddings, norms, and biases stay full precision. Works on loop
+    (layers_{i}) and scanned (layers/block, stacked leading axis) trees.
+    """
+    def quantize(kernel, n_contract: int, stacked: bool):
+        import jax
+
+        # device arrays quantize on-device (a 7B tree would otherwise
+        # round-trip ~27 GB of f32 through the host)
+        if isinstance(kernel, jax.Array):
+            import jax.numpy as xp
+        else:
+            xp = np
+            kernel = np.asarray(kernel)
+        k = kernel.astype(xp.float32)
+        axes = tuple(range(1, 1 + n_contract) if stacked
+                     else range(n_contract))
+        s = xp.max(xp.abs(k), axis=axes, keepdims=True) / 127.0
+        s = xp.maximum(s, 1e-12)
+        q = xp.clip(xp.rint(k / s), -127, 127).astype(xp.int8)
+        return q, xp.squeeze(s, axis=axes).astype(xp.float32)
+
+    def walk(node, name: str, stacked: bool):
+        if isinstance(node, dict):
+            if name in _Q8_KERNELS and "kernel" in node:
+                q, s = quantize(node["kernel"], _Q8_KERNELS[name], stacked)
+                out = {k: v for k, v in node.items() if k != "kernel"}
+                out["kernel_q8"] = q
+                out["kernel_scale"] = s
+                return out
+            return {k: walk(v, k, stacked or k == "block")
+                    for k, v in node.items()}
+        return node
+
+    return walk(dict(params), "", False)
+
+
 def _qkv_kernel(w: np.ndarray, heads: int, head_dim: int) -> np.ndarray:
     """HF (out=h*d, in) -> (in, h, d)."""
     out_dim, in_dim = w.shape

@@ -75,6 +75,12 @@ class DecoderConfig:
     z_loss_weight: float = 0.0             # baichuan2: logsumexp^2 penalty
 
     dtype: Any = jnp.bfloat16
+    # 'bf16' (f32 master params cast at compute) or 'int8' (weight-only
+    # per-output-channel quantized kernels for SERVING: half the HBM
+    # reads on the parameter-bound decode path; build the tree with
+    # convert.quantize_decoder_params_int8). Embeddings stay full
+    # precision (gather-bound); requires the plain lm_head.
+    weight_dtype: str = "bf16"
     remat: bool = False                    # gradient checkpoint each layer
     scan_layers: bool = False              # nn.scan the layer stack (train)
 
@@ -180,12 +186,16 @@ class Attention(nn.Module):
         cache_seg = (cache_aux or {}).get("seg")
         cache_index = (cache_aux or {}).get("index")
 
+        q8 = cfg.weight_dtype == "int8"
         q = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
-                         use_bias=bias, dtype=cfg.dtype, name="q_proj")(x)
+                         use_bias=bias, dtype=cfg.dtype, weight_q8=q8,
+                         name="q_proj")(x)
         k = DenseGeneral((hkv, d), kernel_axes=("embed", "heads", "kv"),
-                         use_bias=bias, dtype=cfg.dtype, name="k_proj")(x)
+                         use_bias=bias, dtype=cfg.dtype, weight_q8=q8,
+                         name="k_proj")(x)
         v = DenseGeneral((hkv, d), kernel_axes=("embed", "heads", "kv"),
-                         use_bias=bias, dtype=cfg.dtype, name="v_proj")(x)
+                         use_bias=bias, dtype=cfg.dtype, weight_q8=q8,
+                         name="v_proj")(x)
 
         if cfg.positional == "rope":
             rotary_dim = int(d * cfg.partial_rotary_factor)
@@ -432,7 +442,9 @@ class Attention(nn.Module):
 
         out = DenseGeneral((cfg.hidden_size,), axis=(-2, -1),
                            kernel_axes=("heads", "kv", "embed"),
-                           use_bias=bias, dtype=cfg.dtype, name="o_proj")(out)
+                           use_bias=bias, dtype=cfg.dtype,
+                           weight_q8=cfg.weight_dtype == "int8",
+                           name="o_proj")(out)
         new_aux = None
         if new_seg is not None:
             new_aux = {"seg": new_seg, "pos": new_pos}
@@ -450,7 +462,8 @@ class DecoderBlock(nn.Module):
             h, positions, segment_ids, layer_cache, cache_aux)
 
         if cfg.mlp == "gated":
-            mlp = GatedMLP(cfg.intermediate_size, dtype=cfg.dtype, name="mlp")
+            mlp = GatedMLP(cfg.intermediate_size, dtype=cfg.dtype,
+                           weight_q8=cfg.weight_dtype == "int8", name="mlp")
         else:
             mlp = SimpleMLP(cfg.intermediate_size, activation=cfg.mlp,
                             dtype=cfg.dtype, name="mlp")
@@ -503,6 +516,11 @@ class CausalLM(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        if cfg.weight_dtype == "int8":
+            assert cfg.mlp == "gated" and not cfg.normhead \
+                and not cfg.tie_word_embeddings, (
+                    "int8 weight-only serving covers the gated-MLP/plain-"
+                    "head families (llama/vicuna/baichuan-rope)")
         self.embed_tokens = Embed(cfg.vocab_size, cfg.hidden_size,
                                   dtype=cfg.dtype, name="embed_tokens")
         if cfg.positional == "learned":
@@ -561,7 +579,8 @@ class CausalLM(nn.Module):
             else:
                 self.lm_head = DenseGeneral(
                     (cfg.vocab_size,), kernel_axes=("embed", "vocab"),
-                    use_bias=cfg.lm_head_bias, dtype=cfg.dtype, name="lm_head")
+                    use_bias=cfg.lm_head_bias, dtype=cfg.dtype,
+                    weight_q8=cfg.weight_dtype == "int8", name="lm_head")
 
     def embed(self, input_ids):
         return self.embed_tokens(input_ids)

@@ -68,7 +68,16 @@ class LayerNorm(nn.Module):
 
 
 class DenseGeneral(nn.Module):
-    """Einsum dense layer with arbitrary kernel shape + logical axis names."""
+    """Einsum dense layer with arbitrary kernel shape + logical axis names.
+
+    ``weight_q8=True`` stores the kernel as INT8 with a per-output-channel
+    f32 scale (weight-only quantization for serving): HBM reads halve —
+    and decode forwards are parameter-read-bound, so so does the decode
+    step floor. Exact post-matmul rescale: y = (x @ q8) * scale equals
+    x @ (q8 * scale) because the scale varies only along output channels.
+    Build the param tree from a trained f32 tree with
+    :func:`merlin_tpu.models.convert.quantize_decoder_params_int8`.
+    """
 
     features: Tuple[int, ...]          # output feature dims
     axis: Tuple[int, ...] = (-1,)      # input axes to contract
@@ -76,6 +85,7 @@ class DenseGeneral(nn.Module):
     use_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     kernel_init: Initializer = default_kernel_init
+    weight_q8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -84,17 +94,40 @@ class DenseGeneral(nn.Module):
         axis = tuple(a % x.ndim for a in axis)
         in_shape = tuple(x.shape[a] for a in axis)
         kernel_shape = in_shape + features
-        kernel = self.param(
-            "kernel",
-            nn.with_logical_partitioning(self.kernel_init, self.kernel_axes),
-            kernel_shape, jnp.float32)
-        kernel = kernel.astype(self.dtype)
+        out_axes = self.kernel_axes[len(in_shape):] if self.kernel_axes \
+            else ()
+        if self.weight_q8:
+            kernel = self.param(
+                "kernel_q8",
+                nn.with_logical_partitioning(
+                    lambda key, shape, dtype=jnp.int8:
+                    jnp.zeros(shape, jnp.int8),
+                    self.kernel_axes),
+                kernel_shape, jnp.int8)
+            scale = self.param(
+                "kernel_scale",
+                nn.with_logical_partitioning(
+                    nn.initializers.ones, out_axes),
+                features, jnp.float32)
+            # the int8->compute-dtype convert fuses into the matmul's
+            # operand read; the tensor resident in HBM stays int8
+            kernel = kernel.astype(self.dtype)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.with_logical_partitioning(self.kernel_init,
+                                              self.kernel_axes),
+                kernel_shape, jnp.float32)
+            kernel = kernel.astype(self.dtype)
+            scale = None
 
         # contraction: batch dims of x stay, `axis` dims contract with kernel
         x = x.astype(self.dtype)
         contract = ((axis, tuple(range(len(axis)))), ((), ()))
         out = jax.lax.dot_general(x, kernel, contract,
                                   preferred_element_type=jnp.float32)
+        if scale is not None:
+            out = out * scale  # (..., *features) broadcast
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -203,16 +236,20 @@ class GatedMLP(nn.Module):
 
     intermediate: int
     dtype: Dtype = jnp.bfloat16
+    weight_q8: bool = False
 
     @nn.compact
     def __call__(self, x):
+        q8 = self.weight_q8
         gate = DenseGeneral((self.intermediate,), kernel_axes=("embed", "mlp"),
-                            dtype=self.dtype, name="gate_proj")(x)
+                            dtype=self.dtype, weight_q8=q8,
+                            name="gate_proj")(x)
         up = DenseGeneral((self.intermediate,), kernel_axes=("embed", "mlp"),
-                          dtype=self.dtype, name="up_proj")(x)
+                          dtype=self.dtype, weight_q8=q8, name="up_proj")(x)
         hidden = nn.silu(gate) * up
         return DenseGeneral((x.shape[-1],), kernel_axes=("mlp", "embed"),
-                            dtype=self.dtype, name="down_proj")(hidden)
+                            dtype=self.dtype, weight_q8=q8,
+                            name="down_proj")(hidden)
 
 
 class SimpleMLP(nn.Module):

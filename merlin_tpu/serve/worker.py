@@ -348,6 +348,10 @@ def main():
                         "instead of streaming). Needs params to fit "
                         "beside ~3 GB of XLA relayout scratch — see "
                         "generate/speculative.py")
+    p.add_argument("--int8-weights", action="store_true",
+                   help="weight-only int8 LM kernels (per-output-channel "
+                        "scales): halves parameter HBM reads, the decode "
+                        "bottleneck; tower/projector stay full precision")
     p.add_argument("--scan-decode", action="store_true",
                    help="scan the LM layer stack: ONE paged-attention "
                         "kernel instance serves every layer (minutes "
@@ -361,6 +365,10 @@ def main():
         margs.scan_layers = True
     bundle = build_model_tokenizer(margs, dargs, targs, tiny=args.tiny)
     init_or_load_params(bundle, composite_checkpoint=margs.pretrain_model)
+    if args.int8_weights:
+        from merlin_tpu.models.builder import quantize_bundle_lm_int8
+
+        bundle = quantize_bundle_lm_int8(bundle)
     server = serve(bundle, host=args.host, port=args.port,
                    controller_address=args.controller_address,
                    use_engine=args.engine, engine_slots=args.engine_slots,
