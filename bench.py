@@ -251,7 +251,8 @@ def bench_decode_int8_weights():
     return NEW_TOKENS * BATCH / dt
 
 
-def bench_speculative(draft_len: int = 4, T: int = 64):
+def bench_speculative(draft_len: int = 4, T: int = 64,
+                      num_layers: int = 8, weight_q8: bool = False):
     """Prompt-lookup speculative decode vs plain greedy at a 1.9B-class
     decoder (8 vicuna-width layers — the largest config the multi-token
     forward compiles at on one chip; 7B bf16 is gated by XLA's ~3 GB
@@ -264,10 +265,20 @@ def bench_speculative(draft_len: int = 4, T: int = 64):
     from merlin_tpu.generate.decode import GenerateConfig, Generator
     from merlin_tpu.generate.speculative import SpeculativeGenerator
 
-    cfg = dataclasses.replace(vicuna_7b(), num_layers=8, dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(vicuna_7b(), num_layers=num_layers,
+                              dtype=jnp.bfloat16)
     model = CausalLM(cfg)
     params = materialize_bf16_params(model, jnp.zeros((1, 8), jnp.int32))
     jax.block_until_ready(params)
+    if weight_q8:
+        # int8 weights shrink 7B params to 6.75 GB — beside XLA's ~3 GB
+        # multi-token relayout scratch that UN-GATES speculative at the
+        # full depth (see generate/speculative.py)
+        from merlin_tpu.models.convert import quantize_decoder_params_int8
+
+        model = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
+        params = quantize_decoder_params_int8(params)
+        jax.block_until_ready(params)
     gcfg = GenerateConfig(max_new_tokens=T, do_sample=False, eos_id=-1,
                           pad_id=0)
     ids = np.random.default_rng(0).integers(
@@ -427,7 +438,8 @@ def bench_paged_bandwidth():
     return useful / dt / 1e9
 
 
-def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4):
+def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
+                     weight_q8=False):
     """Continuous-batching serving on the FULL vicuna-7b config over the
     PALLAS paged-decode path: scan_layers stacks the per-layer paged caches
     (L, pages, page, hkv*d) so ONE paged-attention kernel instance serves
@@ -457,6 +469,12 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4):
     model = CausalLM(cfg)
     params = materialize_bf16_params(model, jnp.zeros((1, 8), jnp.int32))
     jax.block_until_ready(params)
+    if weight_q8:
+        from merlin_tpu.models.convert import quantize_decoder_params_int8
+
+        model = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
+        params = quantize_decoder_params_int8(params)
+        jax.block_until_ready(params)
 
     # chunk_steps=1 (no-scan decode): the chunk scan's carry would hold a
     # second copy of the pool, which with 13.5G of params OOMs the 16G
@@ -624,6 +642,15 @@ def main():
         ("decode_int8w", lambda: details.update(
             vicuna7b_decode_int8_weights_tokens_per_sec=round(
                 bench_decode_int8_weights(), 2))),
+        # int8 weights + int8 KV pages: ~6.75 GB of freed params buy
+        # double the slots of the bf16 table
+        ("serving_int8w", lambda: (lambda r: details.update(
+            vicuna7b_serving_int8w_tokens_per_sec_8slots=round(
+                r["tokens_per_sec"], 1),
+            serving_int8w_p50_inter_token_ms=round(
+                r["p50_inter_token_ms"], 1)))(
+            bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
+                             weight_q8=True))),
         # serving LAST: largest params + several prefill-bucket compiles;
         # a driver timeout here must not starve the sections above
         ("serving", lambda: (lambda r: details.update(
