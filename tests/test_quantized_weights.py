@@ -145,3 +145,60 @@ def test_q8_generation_end_to_end():
     while ptr and ptr[-1] == PAD:
         ptr.pop()
     assert reqs[0].generated == ptr
+
+
+def test_q8_speculative_matches_q8_greedy():
+    """int8 weights + speculative decode (the combination that un-gates
+    7B speculative): tokens equal the plain greedy run of the SAME
+    quantized model."""
+    from merlin_tpu.generate.decode import GenerateConfig, Generator
+    from merlin_tpu.generate.speculative import SpeculativeGenerator
+
+    cfg, model, params, _ = _f32()
+    qmodel = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
+    qparams = quantize_decoder_params_int8(params)
+    gcfg = GenerateConfig(max_new_tokens=12, eos_id=EOS, pad_id=PAD,
+                          prompt_bucket=8, cache_dtype=jnp.float32)
+    ids = np.asarray([[5, 17, 33, 41, 9]], np.int32)
+    want = Generator(qmodel, gcfg)(qparams, ids)
+    got, _, _ = SpeculativeGenerator(qmodel, gcfg, draft_len=3)(qparams, ids)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_q8_weights_tensor_sharded_engine():
+    """int8 WEIGHTS under tensor-parallel serving (bf16 KV pool): the
+    q8 kernels and their per-channel scales shard by the same logical
+    rules; outputs match the unsharded quantized engine."""
+    from merlin_tpu.serve.engine import ServingEngine
+    from merlin_tpu.core.mesh import MeshConfig, create_mesh
+    from merlin_tpu.core.partitioning import sharding_for_tree
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg, model, params, _ = _f32()
+    qcfg = dataclasses.replace(cfg, weight_dtype="int8")
+    qmodel = CausalLM(qcfg)
+    qparams = quantize_decoder_params_int8(params)
+
+    def run(mesh=None, shardings=None):
+        eng = ServingEngine(qmodel, qparams, num_slots=2, max_len=64,
+                            eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                            page_size=16, cache_dtype=jnp.float32,
+                            mesh=mesh, param_shardings=shardings)
+        try:
+            reqs = [eng.submit(p, max_new_tokens=6)
+                    for p in ([5, 17, 33, 41], [7, 9, 11])]
+            eng.run_until_idle()
+            return [r.generated for r in reqs]
+        finally:
+            eng.close()
+
+    want = run()
+    mesh = create_mesh(MeshConfig(data=1, fsdp=1, tensor=2),
+                       devices=jax.devices()[:2])
+    ids = jnp.ones((1, 4), jnp.int32)
+    abstract = jax.eval_shape(
+        lambda: qmodel.init(jax.random.PRNGKey(0), ids))["params"]
+    shardings = sharding_for_tree(nn.get_partition_spec(abstract), mesh)
+    got = run(mesh=mesh, shardings=shardings)
+    assert got == want
