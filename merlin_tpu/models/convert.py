@@ -99,7 +99,8 @@ def unstack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
 # trailing axes are output channels (one scale each). A leading stacked
 # layer axis (scan_layers trees: layers/block/...) is handled by position.
 _Q8_KERNELS = {"q_proj": 1, "k_proj": 1, "v_proj": 1, "o_proj": 2,
-               "gate_proj": 1, "up_proj": 1, "down_proj": 1, "lm_head": 1}
+               "gate_proj": 1, "up_proj": 1, "down_proj": 1,
+               "fc1": 1, "fc2": 1, "lm_head": 1}
 
 
 def quantize_decoder_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:

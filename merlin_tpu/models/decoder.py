@@ -466,7 +466,8 @@ class DecoderBlock(nn.Module):
                            weight_q8=cfg.weight_dtype == "int8", name="mlp")
         else:
             mlp = SimpleMLP(cfg.intermediate_size, activation=cfg.mlp,
-                            dtype=cfg.dtype, name="mlp")
+                            dtype=cfg.dtype,
+                            weight_q8=cfg.weight_dtype == "int8", name="mlp")
 
         if cfg.parallel_block:
             # Phi-2: attention and MLP read the same normed input and share
@@ -517,10 +518,12 @@ class CausalLM(nn.Module):
     def setup(self):
         cfg = self.cfg
         if cfg.weight_dtype == "int8":
-            assert cfg.mlp == "gated" and not cfg.normhead \
-                and not cfg.tie_word_embeddings, (
-                    "int8 weight-only serving covers the gated-MLP/plain-"
-                    "head families (llama/vicuna/baichuan-rope)")
+            # tied-embedding heads read the f32 embedding (attend path);
+            # NormHead renormalizes its kernel every forward, which a
+            # static per-channel scale cannot represent
+            assert not cfg.normhead, (
+                "int8 weight-only serving: NormHead renormalizes per "
+                "forward and stays full precision")
         self.embed_tokens = Embed(cfg.vocab_size, cfg.hidden_size,
                                   dtype=cfg.dtype, name="embed_tokens")
         if cfg.positional == "learned":

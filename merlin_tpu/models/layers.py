@@ -259,11 +259,13 @@ class SimpleMLP(nn.Module):
     intermediate: int
     activation: str = "gelu_new"
     dtype: Dtype = jnp.bfloat16
+    weight_q8: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = DenseGeneral((self.intermediate,), kernel_axes=("embed", "mlp"),
-                         use_bias=True, dtype=self.dtype, name="fc1")(x)
+                         use_bias=True, dtype=self.dtype,
+                         weight_q8=self.weight_q8, name="fc1")(x)
         if self.activation == "gelu_new":
             h = nn.gelu(h, approximate=True)
         elif self.activation == "gelu":
@@ -275,4 +277,5 @@ class SimpleMLP(nn.Module):
         else:
             raise ValueError(f"unknown activation {self.activation}")
         return DenseGeneral((x.shape[-1],), kernel_axes=("mlp", "embed"),
-                            use_bias=True, dtype=self.dtype, name="fc2")(h)
+                            use_bias=True, dtype=self.dtype,
+                            weight_q8=self.weight_q8, name="fc2")(h)

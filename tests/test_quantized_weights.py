@@ -202,3 +202,25 @@ def test_q8_weights_tensor_sharded_engine():
     shardings = sharding_for_tree(nn.get_partition_spec(abstract), mesh)
     got = run(mesh=mesh, shardings=shardings)
     assert got == want
+
+
+def test_q8_simple_mlp_family():
+    """phi/opt-style decoders (SimpleMLP fc1/fc2, biases, LN) quantize
+    too: logits match the dequantized reference."""
+    cfg = dataclasses.replace(
+        tiny(), dtype=jnp.float32, mlp="gelu_new", norm="ln",
+        parallel_block=True, attention_bias=True, lm_head_bias=True,
+        partial_rotary_factor=0.5)
+    model = CausalLM(cfg)
+    ids = jnp.asarray(np.random.default_rng(2).integers(3, 120, (1, 7)))
+    params = nn.unbox(model.init(jax.random.PRNGKey(4), ids)["params"])
+    qmodel = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
+    qparams = quantize_decoder_params_int8(params)
+    ref_tree = nn.unbox(qmodel.init(jax.random.PRNGKey(0), ids)["params"])
+    assert (jax.tree_util.tree_structure(qparams)
+            == jax.tree_util.tree_structure(ref_tree))
+    qlogits, _ = qmodel.apply({"params": qparams}, ids)
+    dlogits, _ = model.apply({"params": _dequantize_like(qparams, params)},
+                             ids)
+    np.testing.assert_allclose(np.asarray(qlogits), np.asarray(dlogits),
+                               rtol=1e-5, atol=1e-4)
