@@ -232,7 +232,7 @@ def bench_decode_int8_weights():
     params = materialize_bf16_params(model, jnp.zeros((1, 8), jnp.int32))
     jax.block_until_ready(params)
     qmodel = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
-    qparams = quantize_decoder_params_int8(params)
+    qparams = quantize_decoder_params_int8(params, donate=True)
     del params
     jax.block_until_ready(qparams)
 
@@ -277,7 +277,7 @@ def bench_speculative(draft_len: int = 4, T: int = 64,
         from merlin_tpu.models.convert import quantize_decoder_params_int8
 
         model = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
-        params = quantize_decoder_params_int8(params)
+        params = quantize_decoder_params_int8(params, donate=True)
         jax.block_until_ready(params)
     gcfg = GenerateConfig(max_new_tokens=T, do_sample=False, eos_id=-1,
                           pad_id=0)
@@ -473,7 +473,7 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
         from merlin_tpu.models.convert import quantize_decoder_params_int8
 
         model = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
-        params = quantize_decoder_params_int8(params)
+        params = quantize_decoder_params_int8(params, donate=True)
         jax.block_until_ready(params)
 
     # chunk_steps=1 (no-scan decode): the chunk scan's carry would hold a
@@ -642,15 +642,6 @@ def main():
         ("decode_int8w", lambda: details.update(
             vicuna7b_decode_int8_weights_tokens_per_sec=round(
                 bench_decode_int8_weights(), 2))),
-        # int8 weights + int8 KV pages: ~6.75 GB of freed params buy
-        # double the slots of the bf16 table
-        ("serving_int8w", lambda: (lambda r: details.update(
-            vicuna7b_serving_int8w_tokens_per_sec_8slots=round(
-                r["tokens_per_sec"], 1),
-            serving_int8w_p50_inter_token_ms=round(
-                r["p50_inter_token_ms"], 1)))(
-            bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
-                             weight_q8=True))),
         # serving LAST: largest params + several prefill-bucket compiles;
         # a driver timeout here must not starve the sections above
         ("serving", lambda: (lambda r: details.update(
@@ -675,6 +666,15 @@ def main():
                 r["p95_arrival_gap_ms"], 1),
             serving_int8_preemptions=r["preemptions"]))(
             bench_serving_7b(cache_dtype=jnp.int8, num_slots=6))),
+        # int8 weights + int8 KV pages: ~6.75 GB of freed params buy
+        # double the slots of the bf16 table
+        ("serving_int8w", lambda: (lambda r: details.update(
+            vicuna7b_serving_int8w_tokens_per_sec_8slots=round(
+                r["tokens_per_sec"], 1),
+            serving_int8w_p50_inter_token_ms=round(
+                r["p50_inter_token_ms"], 1)))(
+            bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
+                             weight_q8=True))),
         # re-time ViT at the end of the run (keep the best window seen)
         ("vit_retime",
          lambda: update_vit(bench_vit_encode(windows=4, gap_s=20.0))),

@@ -297,5 +297,8 @@ def quantize_bundle_lm_int8(bundle: ModelBundle) -> ModelBundle:
     lm_cfg = _dc.replace(bundle.config.lm, weight_dtype="int8")
     cfg = _dc.replace(bundle.config, lm=lm_cfg)
     params = dict(bundle.params)
-    params["lm"] = quantize_decoder_params_int8(params["lm"])
+    # donate: the source kernels free as their int8 replacements land —
+    # at 7B both trees cannot coexist on a 16 GB chip. The INPUT bundle's
+    # LM params are consumed.
+    params["lm"] = quantize_decoder_params_int8(params["lm"], donate=True)
     return _dc.replace(bundle, model=MMGPT(cfg), config=cfg, params=params)

@@ -103,7 +103,8 @@ _Q8_KERNELS = {"q_proj": 1, "k_proj": 1, "v_proj": 1, "o_proj": 2,
                "fc1": 1, "fc2": 1, "lm_head": 1}
 
 
-def quantize_decoder_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_decoder_params_int8(params: Dict[str, Any],
+                                 donate: bool = False) -> Dict[str, Any]:
     """Trained f32 decoder tree -> the ``weight_dtype='int8'`` tree.
 
     Per-output-channel symmetric absmax quantization: each matmul kernel
@@ -111,10 +112,16 @@ def quantize_decoder_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
     dims), with y = (x @ q8) * scale == x @ (q8 * scale) exactly.
     Embeddings, norms, and biases stay full precision. Works on loop
     (layers_{i}) and scanned (layers/block, stacked leading axis) trees.
-    """
-    def quantize(kernel, n_contract: int, stacked: bool):
-        import jax
 
+    ``donate=True`` frees each source kernel's device buffer as soon as
+    its int8 replacement is materialized (and strips it from the INPUT
+    tree, which becomes unusable). Without it a 7B bf16 tree (13.5 GB)
+    plus its int8 copy (~6.75 GB) cannot coexist on a 16 GB chip — with
+    it the peak is the source tree plus one kernel's f32 temp.
+    """
+    import jax
+
+    def quantize(kernel, n_contract: int, stacked: bool):
         # device arrays quantize on-device (a 7B tree would otherwise
         # round-trip ~27 GB of f32 through the host)
         if isinstance(kernel, jax.Array):
@@ -133,10 +140,15 @@ def quantize_decoder_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
     def walk(node, name: str, stacked: bool):
         if isinstance(node, dict):
             if name in _Q8_KERNELS and "kernel" in node:
-                q, s = quantize(node["kernel"], _Q8_KERNELS[name], stacked)
+                src = node["kernel"]
+                q, s = quantize(src, _Q8_KERNELS[name], stacked)
                 out = {k: v for k, v in node.items() if k != "kernel"}
                 out["kernel_q8"] = q
                 out["kernel_scale"] = s
+                if donate and isinstance(src, jax.Array):
+                    jax.block_until_ready(q)   # q must land before src dies
+                    node.pop("kernel")
+                    src.delete()
                 return out
             return {k: walk(v, k, stacked or k == "block")
                     for k, v in node.items()}

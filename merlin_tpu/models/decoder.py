@@ -186,15 +186,15 @@ class Attention(nn.Module):
         cache_seg = (cache_aux or {}).get("seg")
         cache_index = (cache_aux or {}).get("index")
 
-        q8 = cfg.weight_dtype == "int8"
+        wq8 = cfg.weight_dtype == "int8"  # weight quant (cache quant: q8)
         q = DenseGeneral((h, d), kernel_axes=("embed", "heads", "kv"),
-                         use_bias=bias, dtype=cfg.dtype, weight_q8=q8,
+                         use_bias=bias, dtype=cfg.dtype, weight_q8=wq8,
                          name="q_proj")(x)
         k = DenseGeneral((hkv, d), kernel_axes=("embed", "heads", "kv"),
-                         use_bias=bias, dtype=cfg.dtype, weight_q8=q8,
+                         use_bias=bias, dtype=cfg.dtype, weight_q8=wq8,
                          name="k_proj")(x)
         v = DenseGeneral((hkv, d), kernel_axes=("embed", "heads", "kv"),
-                         use_bias=bias, dtype=cfg.dtype, weight_q8=q8,
+                         use_bias=bias, dtype=cfg.dtype, weight_q8=wq8,
                          name="v_proj")(x)
 
         if cfg.positional == "rope":
@@ -321,7 +321,8 @@ class Attention(nn.Module):
                     from jax.sharding import PartitionSpec as P
 
                     lane = P(None, None, "tensor")
-                    scale_spec = lane if q8 else P(None, None, None)
+                    scale_spec = P(None, None, None)  # wrap excludes q8:
+                    # ks/vs here are always the replicated dummies
                     head = P(None, "tensor", None)
                     out_step, kp, ks_out, vp, vs_out = shard_map(
                         token_step, mesh=mesh,

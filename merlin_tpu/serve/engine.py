@@ -89,9 +89,11 @@ class ServingEngine:
         # decoder's shard_map'd paged token step do the rest. bf16 pools
         # only (int8 scale pages are head==lane padded to 128).
         self.mesh = mesh
+        self._prev_mesh = None
         if mesh is not None:
-            from merlin_tpu.core.mesh import set_global_mesh
+            from merlin_tpu.core.mesh import get_global_mesh, set_global_mesh
 
+            self._prev_mesh = get_global_mesh()
             set_global_mesh(mesh)  # gates the kernels' shard_map wrap
             if param_shardings is not None:
                 params = jax.device_put(params, param_shardings)
@@ -128,6 +130,14 @@ class ServingEngine:
                 raise ValueError(
                     "tensor-sharded serving supports bf16 pools only "
                     "(int8 scale pages are head==lane padded to 128)")
+            tp = mesh.shape["tensor"]
+            if lm_cfg.num_heads % tp or lm_cfg.kv_heads % tp:
+                # an undivisible pool would shard mid-head AND skip the
+                # decoder's shard_map fast path: GSPMD would reshard on
+                # every step — fail loudly instead
+                raise ValueError(
+                    f"heads ({lm_cfg.num_heads}/{lm_cfg.kv_heads}) must "
+                    f"divide the tensor axis ({tp})")
 
             def pool_shard(x):
                 # pages: (.., page, hkv*d) — lanes sharded; bookkeeping
@@ -487,7 +497,7 @@ class ServingEngine:
             from merlin_tpu.core.mesh import get_global_mesh, set_global_mesh
 
             if get_global_mesh() is self.mesh:
-                set_global_mesh(None)
+                set_global_mesh(self._prev_mesh)  # restore, don't clobber
         self.cache = None
         self.params = None
         self._prefill = self._insert = None

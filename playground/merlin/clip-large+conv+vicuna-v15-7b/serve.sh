@@ -12,7 +12,11 @@ python -m merlin_tpu.serve.controller --port 21001 &
 # ~12s of AOT compile per layer); chunk-steps 1 keeps a single pool copy
 # on the chip (full-7B + KV pool fit 16GB); pipeline 8 batches token
 # syncs against the host round trip; int8 KV halves pool memory ->
-# 6 slots in the freed space.
+# 6 slots in the freed space. Optional throughput levers:
+#   --int8-weights   weight-only int8 LM kernels: halves the parameter
+#                    reads bounding decode (~2x the slot budget too)
+#   --speculative 4  greedy-exact prompt-lookup multi-token decode for
+#                    the per-request (image) path; one-chunk responses
 python -m merlin_tpu.serve.worker \
     --port 21002 \
     --controller-address "$CONTROLLER" \

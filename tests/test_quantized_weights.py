@@ -224,3 +224,23 @@ def test_q8_simple_mlp_family():
                              ids)
     np.testing.assert_allclose(np.asarray(qlogits), np.asarray(dlogits),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_q8_donate_frees_source_kernels():
+    """donate=True strips and deletes each source kernel as its int8
+    replacement lands (a 7B tree and its copy cannot coexist on chip);
+    the quantized model still computes correctly afterwards."""
+    cfg, model, params, ids = _f32()
+    dparams = jax.tree.map(jnp.asarray, params)  # device tree
+    keep = jax.tree.map(np.asarray, dparams)     # host copy for reference
+    qparams = quantize_decoder_params_int8(dparams, donate=True)
+    # source kernels stripped from the input tree
+    assert "kernel" not in dparams["layers_0"]["attn"]["q_proj"]
+    assert "kernel" not in dparams["lm_head"]
+    qmodel = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
+    qlogits, _ = qmodel.apply({"params": qparams}, ids)
+    dlogits, _ = model.apply(
+        {"params": _dequantize_like(jax.tree.map(np.asarray, qparams),
+                                    keep)}, ids)
+    np.testing.assert_allclose(np.asarray(qlogits), np.asarray(dlogits),
+                               rtol=1e-5, atol=1e-4)
