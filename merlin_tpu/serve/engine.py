@@ -486,6 +486,39 @@ class ServingEngine:
         self._drain()
         return int(active_mask.sum())
 
+    def fail_all(self, reason: str):
+        """Fail every active and queued request (error set, error sentinel
+        emitted) and reset the slots/pool/pipeline to a clean state.
+
+        Recovery path for a device/transport exception out of step():
+        without it the driving loop dies silently and queued clients hang
+        until their own timeouts while the worker keeps heartbeating as
+        healthy. After fail_all the engine accepts new requests — if the
+        fault was transient (a tunnel blip) service resumes; if it is
+        persistent, each new request fails fast instead of hanging."""
+        with self._lock:
+            pending = list(self._queue)
+            self._queue.clear()
+        for req in [r for r in self.slots if r is not None] + pending:
+            req.done = True
+            req.error = reason
+            if req.emit:
+                try:
+                    req.emit(-1, True)  # error sentinel (see Request)
+                except Exception:
+                    pass
+        for slot, req in enumerate(self.slots):
+            if req is not None:
+                self.pool.release(req.req_id)
+                self.slots[slot] = None
+        self._inflight.clear()
+        self._tables[:] = 0
+        self._tables_dirty = True
+        self._slot_tokens[:] = 0
+        self._slot_len[:] = 0
+        self._tokens_dev = None
+        self._active_np = None
+
     def close(self):
         """Release device buffers. The jitted step closures reference
         ``self`` (a reference cycle), so without this the KV pool and the

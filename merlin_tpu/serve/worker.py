@@ -91,8 +91,22 @@ class ModelWorker:
         import time as _time
 
         while not self._stop.is_set():
-            if self.engine.step() == 0:
-                _time.sleep(0.005)
+            try:
+                if self.engine.step() == 0:
+                    _time.sleep(0.005)
+            except Exception as e:
+                # a dead device path must not silently kill this thread:
+                # clients would hang on their queues while heartbeats
+                # keep reporting healthy. Fail everything in flight, back
+                # off, and keep serving — transient faults recover, and
+                # persistent ones fail each request fast.
+                logger.exception("engine step failed; failing in-flight "
+                                 "requests")
+                try:
+                    self.engine.fail_all(f"engine failure: {e}")
+                except Exception:
+                    logger.exception("engine fail_all also failed")
+                _time.sleep(1.0)
 
     # ------------------------------------------------------------------
     def status(self) -> Dict:

@@ -248,3 +248,31 @@ def test_engine_tensor_sharded_matches_single(model_params):
     finally:
         engine.close()
     assert get_global_mesh() is None  # close() restores the global mesh
+
+
+def test_engine_fail_all_recovers(model_params):
+    """A device-path failure mid-serving fails every in-flight request
+    with the error sentinel, drains the pool, and the engine serves new
+    requests afterwards (the worker loop's recovery path)."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.float32)
+    events = []
+    r1 = engine.submit([5, 17, 33], max_new_tokens=6,
+                       emit=lambda t, d: events.append((t, d)))
+    r2 = engine.submit([7, 9, 11], max_new_tokens=6)   # queued
+    engine.step()  # r1 active (r2 admitted too with 2 slots)
+    total_free_when_empty = engine.num_slots * engine.pages_per_slot - 1
+    engine.fail_all("synthetic device loss")
+    assert r1.done and "device loss" in r1.error
+    assert r2.done and r2.error
+    assert events[-1] == (-1, True)
+    assert all(s is None for s in engine.slots)
+    # pool fully drained (only the trash page stays pinned)
+    assert engine.pool.free_pages == total_free_when_empty
+
+    r3 = engine.submit([5, 17, 33, 41], max_new_tokens=6)
+    engine.run_until_idle()
+    assert r3.done and not r3.error
+    assert r3.generated == _reference(model, params, [5, 17, 33, 41], 6)
