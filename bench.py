@@ -585,6 +585,27 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
     }
 
 
+def _wait_for_backend(max_tries: int = 6, base_sleep: float = 20.0):
+    """Retry backend init with backoff; returns the error string on
+    failure, None on success.
+
+    The round-3 driver bench died at backend init when the TPU tunnel was
+    down and emitted NOTHING (BENCH_r03.json rc=1) — a transient outage
+    must never again zero a round's evidence, so main() retries here and
+    always prints a valid primary JSON line even when the chip is gone."""
+    err = "unknown"
+    for i in range(max_tries):
+        try:
+            jax.devices()
+            # a tiny op proves the backend can actually compile+execute
+            float(jnp.asarray(1.0) + 1.0)
+            return None
+        except Exception as e:  # noqa: BLE001 — any init failure retries
+            err = f"{type(e).__name__}: {e}"
+            time.sleep(base_sleep * (1.5 ** i))
+    return err
+
+
 def main():
     import sys
 
@@ -593,6 +614,19 @@ def main():
     def flush():
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=1)
+
+    backend_err = _wait_for_backend()
+    if backend_err is not None:
+        # still a VALID primary line: the driver records it instead of a
+        # stack trace; value 0 marks the outage unambiguously
+        details["backend_error"] = backend_err
+        flush()
+        print(json.dumps({
+            "metric": "vicuna7b_decode_tokens_per_sec_chip",
+            "value": 0.0, "unit": "tokens/s", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable after retries: "
+                     f"{backend_err}"}), flush=True)
+        return
 
     def update_vit(bm, *, record_median=False):
         """Keep the best encode window seen across the run; the median of
@@ -605,7 +639,16 @@ def main():
             details.update(
                 vit_l14_448_encode_frames_per_sec_median=round(bm[1], 1))
 
-    tps, ttft_ms = bench_decode()
+    try:
+        tps, ttft_ms = bench_decode()
+    except Exception as e:  # the primary line must survive any failure
+        details["decode_error"] = f"{type(e).__name__}: {e}"
+        flush()
+        print(json.dumps({
+            "metric": "vicuna7b_decode_tokens_per_sec_chip",
+            "value": 0.0, "unit": "tokens/s", "vs_baseline": 0.0,
+            "error": details["decode_error"]}), flush=True)
+        return
     details["vicuna7b_decode_tokens_per_sec_chip"] = round(tps, 2)
     details["p50_ttft_ms_prefill128"] = round(ttft_ms, 1)
     flush()

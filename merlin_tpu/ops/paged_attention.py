@@ -548,6 +548,482 @@ def paged_attention_dma_q8(
 
 
 # ---------------------------------------------------------------------------
+# multi-token DMA variant: s_q queries per sequence against ARBITRARY page
+# tables — the enabling kernel for engine-integrated speculative decoding
+# (verify windows) and chunked prefill. The reference's serving loop decodes
+# one token per forward (mmgpt/engine/serve/model_worker.py:162-187); on TPU
+# a k-token verify forward costs nearly the same HBM traffic as one decode
+# step, so accepted drafts multiply throughput.
+#
+# Query packing is BLOCK-DIAGONAL like the single-token kernel, but rows are
+# ordered KV-HEAD-MAJOR: row r = hk*(group*s_q) + g*s_q + t carries
+# q[b, t, hk*group+g] in kv head hk's lane block. All s_q*h scores still
+# come from ONE MXU matmul per page block, and the finalize extracts each
+# kv head's CONTIGUOUS (group*s_q, d) row block — hkv static copies,
+# independent of s_q (a (t, qh)-ordered layout would need s_q*h copies).
+# Per-row causal masking uses true positions: row t sits at
+# lengths[b]-s_q+t (lengths INCLUDE the window; callers write the window's
+# K/V into the pages first). ALiBi rides along via a per-row slope input —
+# the paged layout keeps true positions, so multi-token ALiBi is exact
+# (unlike the dense slot-sparse speculative path, which excludes it).
+# ---------------------------------------------------------------------------
+
+
+def _mq_rows(s_q: int, h: int, group: int):
+    """Row order r = hk*(group*s_q) + g*s_q + t; returns (t_of_row,
+    qh_of_row) as numpy arrays for the wrapper-side packing."""
+    r = np.arange(s_q * h)
+    t = r % s_q
+    hk = r // (group * s_q)
+    g = (r // s_q) % group
+    return t, hk * group + g
+
+
+def _pack_q_blockdiag_multi(q: jax.Array, hkv: int, group: int,
+                            out_dtype) -> jax.Array:
+    """(b, s_q, h, d) -> (b, s_q*h, hkv*d) kv-head-major block-diagonal."""
+    b, s_q, h, d = q.shape
+    t_of_row, qh_of_row = _mq_rows(s_q, h, group)
+    # rows gather their (t, qh) vector, then mask into the kv lane block
+    rows = q[:, t_of_row, qh_of_row]                     # (b, R, d)
+    lane_head = np.arange(hkv * d) // d                  # (hkv*d,)
+    kv_of_row = qh_of_row // group                       # (R,)
+    diag = jnp.asarray(lane_head[None, :] == kv_of_row[:, None])
+    tiled = jnp.tile(rows, (1, 1, hkv))                  # (b, R, hkv*d)
+    return jnp.where(diag[None], tiled, 0).astype(out_dtype)
+
+
+def _unpack_o_multi(out: jax.Array, s_q: int, h: int, group: int
+                    ) -> jax.Array:
+    """(b, R, d) kv-head-major rows -> (b, s_q, h, d)."""
+    b = out.shape[0]
+    hkv = h // group
+    d = out.shape[-1]
+    out = out.reshape(b, hkv, group, s_q, d)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, s_q, h, d)
+
+
+def _paged_dma_multi_kernel(
+    lengths_ref, page_tables_ref,
+    qbd_ref, slope_rows_ref, k_hbm_ref, v_hbm_ref,
+    out_ref,
+    k_buf, v_buf, sems, m_scr, l_scr, acc_scr,
+    *, scale: float, page_size: int, pages_per_block: int,
+    max_blocks: int, hkv: int, group: int, d: int, s_q: int,
+    use_alibi: bool,
+):
+    t = pl.program_id(0)
+    total = pl.num_programs(0)
+    R = s_q * hkv * group
+    block_tokens = page_size * pages_per_block
+
+    def unflatten(tt):
+        return tt // max_blocks, jax.lax.rem(tt, max_blocks)
+
+    def active(tt):
+        b_t, blk_t = unflatten(tt)
+        return blk_t * block_tokens < lengths_ref[b_t]
+
+    def copies(tt, slot):
+        b_t, blk_t = unflatten(tt)
+        out = []
+        for j in range(pages_per_block):
+            page = page_tables_ref[b_t, blk_t * pages_per_block + j]
+            out.append(pltpu.make_async_copy(
+                k_hbm_ref.at[page], k_buf.at[slot, j], sems.at[0, slot, j]))
+            out.append(pltpu.make_async_copy(
+                v_hbm_ref.at[page], v_buf.at[slot, j], sems.at[1, slot, j]))
+        return out
+
+    b, blk = unflatten(t)
+    length = lengths_ref[b]
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _bootstrap():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(jnp.logical_and(t + 1 < total, active(t + 1)))
+    def _prefetch_next():
+        for c in copies(t + 1, 1 - slot):
+            c.start()
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(active(t))
+    def _compute():
+        for c in copies(t, slot):
+            c.wait()
+        k = k_buf[slot].reshape(block_tokens, hkv * d)
+        v = v_buf[slot].reshape(block_tokens, hkv * d)
+
+        s = jax.lax.dot_general(
+            qbd_ref[0], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (R, tokens)
+        k_pos = blk * block_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        # row r's query position: length - s_q + (r % s_q)
+        row_t = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), s_q)
+        q_pos = length - s_q + row_t
+        if use_alibi:
+            s = s + slope_rows_ref[0][:, :1] * (
+                k_pos - q_pos).astype(jnp.float32)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jnp.logical_and(
+        active(t),
+        jnp.logical_or(blk == max_blocks - 1,
+                       (blk + 1) * block_tokens >= length)))
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        acc = acc_scr[:] / l
+        gs = group * s_q
+        for hk in range(hkv):                  # contiguous per-kv-head rows
+            out_ref[0, hk * gs:(hk + 1) * gs, :] = (
+                acc[hk * gs:(hk + 1) * gs, hk * d:hk * d + d]
+                .astype(out_ref.dtype))
+
+
+def paged_attention_dma_multi(
+    q: jax.Array,            # (b, s_q, h, d) window queries per sequence
+    k_pages: jax.Array, v_pages: jax.Array,
+    lengths: jax.Array,      # (b,) INCLUDING the s_q window tokens
+    page_tables: jax.Array, *,
+    alibi_slopes: Optional[jax.Array] = None,
+    pages_per_block: Optional[int] = None, scale: Optional[float] = None,
+) -> jax.Array:
+    """Multi-token paged attention over arbitrary page tables.
+
+    The window's K/V must already be written into the pages (see
+    :func:`write_tokens_to_pages`); query t attends causally to positions
+    <= lengths-s_q+t. Supports GQA and ALiBi. Returns (b, s_q, h, d)."""
+    b, s_q, h, d = q.shape
+    total_pages, page_size, packed = k_pages.shape
+    hkv = packed // d
+    group = h // hkv
+    R = s_q * h
+    pages_per_seq = page_tables.shape[1]
+    page_bytes = page_size * packed * k_pages.dtype.itemsize
+    # qbd + acc scratch eat VMEM as s_q grows; shrink the page blocks
+    fixed = R * packed * (2 + 4) + R * packed * 4   # qbd+out bf16, acc f32
+    cap = max(1, (_DMA_VMEM_BUDGET - min(fixed, _DMA_VMEM_BUDGET // 2))
+              // (4 * page_bytes))
+    pages_per_block = cap if pages_per_block is None else min(
+        pages_per_block, cap)
+    while pages_per_seq % pages_per_block:
+        pages_per_block -= 1
+    pages_per_block = max(pages_per_block, 1)
+    max_blocks = pages_per_seq // pages_per_block
+    scale = scale if scale is not None else d ** -0.5
+    use_alibi = alibi_slopes is not None
+
+    qbd = _pack_q_blockdiag_multi(q, hkv, group, q.dtype)
+    _, qh_of_row = _mq_rows(s_q, h, group)
+    if use_alibi:
+        slope_rows = jnp.broadcast_to(
+            alibi_slopes.astype(jnp.float32)[qh_of_row][:, None],
+            (R, _LANES))[None]
+    else:
+        slope_rows = jnp.zeros((1, R, _LANES), jnp.float32)
+
+    def cell_map(t, lens, tables):
+        return t // max_blocks, 0, 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * max_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, R, packed), cell_map),
+            pl.BlockSpec((1, R, _LANES), lambda t, lens, tables: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, R, d), cell_map),
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_block, page_size, packed),
+                       k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, packed),
+                       v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, pages_per_block)),
+            pltpu.VMEM((R, _LANES), jnp.float32),
+            pltpu.VMEM((R, _LANES), jnp.float32),
+            pltpu.VMEM((R, packed), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_dma_multi_kernel, scale=scale, page_size=page_size,
+            pages_per_block=pages_per_block, max_blocks=max_blocks,
+            hkv=hkv, group=group, d=d, s_q=s_q, use_alibi=use_alibi),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, R, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      qbd, slope_rows, k_pages, v_pages)
+    return _unpack_o_multi(out, s_q, h, group)
+
+
+def paged_attention_multi_reference(q, k_pages, v_pages, lengths,
+                                    page_tables, *, alibi_slopes=None,
+                                    scale=None):
+    """XLA reference for the multi-token path (tests/CPU fallback)."""
+    b, s_q, h, d = q.shape
+    _, page_size, packed = k_pages.shape
+    hkv = packed // d
+    group = h // hkv
+    pages_per_seq = page_tables.shape[1]
+    max_len = pages_per_seq * page_size
+    scale = scale if scale is not None else d ** -0.5
+
+    k_seq = k_pages[page_tables].reshape(b, max_len, hkv, d)
+    v_seq = v_pages[page_tables].reshape(b, max_len, hkv, d)
+    qg = q.reshape(b, s_q, hkv, group, d).astype(jnp.float32)
+    s = jnp.einsum("bthgd,bkhd->bhgtk", qg,
+                   k_seq.astype(jnp.float32)) * scale
+    k_pos = jnp.arange(max_len)
+    q_pos = (lengths[:, None] - s_q) + jnp.arange(s_q)[None]   # (b, s_q)
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.reshape(hkv, group)
+        dist = (k_pos[None, None, :] - q_pos[:, :, None]).astype(jnp.float32)
+        s = s + slopes[None, :, :, None, None] * dist[:, None, None]
+    mask = k_pos[None, None, :] <= q_pos[:, :, None]           # causal
+    s = jnp.where(mask[:, None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgtk,bkhd->bthgd", p, v_seq.astype(jnp.float32))
+    return out.reshape(b, s_q, h, d).astype(q.dtype)
+
+
+def _paged_dma_multi_q8_kernel(
+    lengths_ref, page_tables_ref,
+    qbd_ref, kv_onehot_ref, slope_rows_ref,
+    k_hbm_ref, ks_hbm_ref, v_hbm_ref, vs_hbm_ref,
+    out_ref,
+    k_buf, ks_buf, v_buf, vs_buf, sems, m_scr, l_scr, acc_scr,
+    *, scale: float, page_size: int, pages_per_block: int,
+    max_blocks: int, hkv: int, group: int, d: int, s_q: int,
+    use_alibi: bool,
+):
+    """int8 multi-token variant; covers GQA (the s_q==1 case of this
+    kernel also replaces the MHA-only q8 DMA decode for grouped heads).
+
+    Scales fold outside the matmuls via a ONE-HOT expansion: the static
+    (R, 128) row->kv-head one-hot matmul'd with the (tokens, 128) scale
+    buffer yields the (R, tokens) per-score scale — no dequantized
+    (tokens, hkv*d) tile is ever materialized, and it works for any
+    group size (the single-token q8 kernel's lane-slice trick was
+    MHA-only)."""
+    t = pl.program_id(0)
+    total = pl.num_programs(0)
+    R = s_q * hkv * group
+    block_tokens = page_size * pages_per_block
+
+    def unflatten(tt):
+        return tt // max_blocks, jax.lax.rem(tt, max_blocks)
+
+    def active(tt):
+        b_t, blk_t = unflatten(tt)
+        return blk_t * block_tokens < lengths_ref[b_t]
+
+    def copies(tt, slot):
+        b_t, blk_t = unflatten(tt)
+        out = []
+        for j in range(pages_per_block):
+            page = page_tables_ref[b_t, blk_t * pages_per_block + j]
+            out.append(pltpu.make_async_copy(
+                k_hbm_ref.at[page], k_buf.at[slot, j], sems.at[0, slot, j]))
+            out.append(pltpu.make_async_copy(
+                v_hbm_ref.at[page], v_buf.at[slot, j], sems.at[1, slot, j]))
+            out.append(pltpu.make_async_copy(
+                ks_hbm_ref.at[page], ks_buf.at[slot, j], sems.at[2, slot, j]))
+            out.append(pltpu.make_async_copy(
+                vs_hbm_ref.at[page], vs_buf.at[slot, j], sems.at[3, slot, j]))
+        return out
+
+    b, blk = unflatten(t)
+    length = lengths_ref[b]
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _bootstrap():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(jnp.logical_and(t + 1 < total, active(t + 1)))
+    def _prefetch_next():
+        for c in copies(t + 1, 1 - slot):
+            c.start()
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(active(t))
+    def _compute():
+        for c in copies(t, slot):
+            c.wait()
+        k = k_buf[slot].reshape(block_tokens, hkv * d).astype(jnp.bfloat16)
+        v = v_buf[slot].reshape(block_tokens, hkv * d).astype(jnp.bfloat16)
+        k_sc = ks_buf[slot].reshape(block_tokens, _LANES)
+        v_sc = vs_buf[slot].reshape(block_tokens, _LANES)
+        oh = kv_onehot_ref[0]                            # (R, 128)
+
+        s = jax.lax.dot_general(
+            qbd_ref[0], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (R, tokens)
+        # per-score k scale: one-hot (R, 128) @ (tokens, 128)^T
+        k_row_sc = jax.lax.dot_general(
+            oh, k_sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (R, tokens)
+        s = s * k_row_sc * scale
+        k_pos = blk * block_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        row_t = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), s_q)
+        q_pos = length - s_q + row_t
+        if use_alibi:
+            s = s + slope_rows_ref[0][:, :1] * (
+                k_pos - q_pos).astype(jnp.float32)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        v_row_sc = jax.lax.dot_general(
+            oh, v_sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (R, tokens)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            (p * v_row_sc).astype(jnp.bfloat16), v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jnp.logical_and(
+        active(t),
+        jnp.logical_or(blk == max_blocks - 1,
+                       (blk + 1) * block_tokens >= length)))
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        acc = acc_scr[:] / l
+        gs = group * s_q
+        for hk in range(hkv):
+            out_ref[0, hk * gs:(hk + 1) * gs, :] = (
+                acc[hk * gs:(hk + 1) * gs, hk * d:hk * d + d]
+                .astype(out_ref.dtype))
+
+
+def paged_attention_dma_multi_q8(
+    q: jax.Array, k_values: jax.Array, k_scales: jax.Array,
+    v_values: jax.Array, v_scales: jax.Array,
+    lengths: jax.Array, page_tables: jax.Array, *,
+    alibi_slopes: Optional[jax.Array] = None,
+    pages_per_block: Optional[int] = None, scale: Optional[float] = None,
+) -> jax.Array:
+    """Multi-token (or GQA single-token) paged attention over int8 pages.
+
+    q: (b, s_q, h, d); k/v_values: (P, page, hkv*d) int8; k/v_scales:
+    (P, page, 128) f32 (lane per kv head). Returns (b, s_q, h, d)."""
+    b, s_q, h, d = q.shape
+    total_pages, page_size, packed = k_values.shape
+    hkv = packed // d
+    group = h // hkv
+    R = s_q * h
+    pages_per_seq = page_tables.shape[1]
+    page_bytes = page_size * (packed + 2 * _LANES * 4)  # int8 + f32 scales
+    fixed = R * packed * (2 + 4) + R * packed * 4
+    cap = max(1, (_DMA_VMEM_BUDGET - min(fixed, _DMA_VMEM_BUDGET // 2))
+              // (4 * page_bytes))
+    pages_per_block = cap if pages_per_block is None else min(
+        pages_per_block, cap)
+    while pages_per_seq % pages_per_block:
+        pages_per_block -= 1
+    pages_per_block = max(pages_per_block, 1)
+    max_blocks = pages_per_seq // pages_per_block
+    scale = scale if scale is not None else d ** -0.5
+    use_alibi = alibi_slopes is not None
+
+    qbd = _pack_q_blockdiag_multi(q, hkv, group, jnp.bfloat16)
+    _, qh_of_row = _mq_rows(s_q, h, group)
+    kv_of_row = qh_of_row // group
+    onehot = jnp.asarray(
+        np.arange(_LANES)[None, :] == kv_of_row[:, None],
+        jnp.float32)[None]                               # (1, R, 128)
+    if use_alibi:
+        slope_rows = jnp.broadcast_to(
+            alibi_slopes.astype(jnp.float32)[qh_of_row][:, None],
+            (R, _LANES))[None]
+    else:
+        slope_rows = jnp.zeros((1, R, _LANES), jnp.float32)
+
+    def cell_map(t, lens, tables):
+        return t // max_blocks, 0, 0
+
+    const_map = lambda t, lens, tables: (0, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * max_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, R, packed), cell_map),
+            pl.BlockSpec((1, R, _LANES), const_map),
+            pl.BlockSpec((1, R, _LANES), const_map),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, R, d), cell_map),
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_block, page_size, packed), jnp.int8),
+            pltpu.VMEM((2, pages_per_block, page_size, _LANES), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size, packed), jnp.int8),
+            pltpu.VMEM((2, pages_per_block, page_size, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2, pages_per_block)),
+            pltpu.VMEM((R, _LANES), jnp.float32),
+            pltpu.VMEM((R, _LANES), jnp.float32),
+            pltpu.VMEM((R, packed), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_dma_multi_q8_kernel, scale=scale, page_size=page_size,
+            pages_per_block=pages_per_block, max_blocks=max_blocks,
+            hkv=hkv, group=group, d=d, s_q=s_q, use_alibi=use_alibi),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, R, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      qbd, onehot, slope_rows, k_values, k_scales, v_values, v_scales)
+    return _unpack_o_multi(out, s_q, h, group)
+
+
+# ---------------------------------------------------------------------------
 # int8-quantized pages (halves the page-load bandwidth; guide §13 pattern)
 # ---------------------------------------------------------------------------
 
@@ -790,6 +1266,57 @@ def write_token_to_pages(k_pages, v_pages, k_new, v_new, *, positions,
         return pages.at[phys, offset].set(flat.astype(pages.dtype))
 
     return write(k_pages, k_new), write(v_pages, v_new)
+
+
+def write_tokens_to_pages(k_pages, v_pages, k_new, v_new, *,
+                          start_positions, page_tables):
+    """Scatter an s_q-token window's K/V into the paged cache.
+
+    k_new/v_new: (b, s_q, hkv, d); start_positions: (b,) first token
+    index per sequence (token j lands at start+j); page_tables:
+    (b, pages_per_seq). One batched scatter of b*s_q head-packed rows.
+    Returns updated (k_pages, v_pages)."""
+    b, s_q = k_new.shape[:2]
+    page_size = k_pages.shape[1]
+    positions = start_positions[:, None] + jnp.arange(s_q)[None]  # (b, s_q)
+    logical_page = positions // page_size
+    offset = (positions % page_size).reshape(-1)
+    phys = jnp.take_along_axis(page_tables, logical_page, axis=1) \
+        .reshape(-1)
+
+    def write(pages, new):
+        flat = new.reshape(b * s_q, -1)
+        return pages.at[phys, offset].set(flat.astype(pages.dtype))
+
+    return write(k_pages, k_new), write(v_pages, v_new)
+
+
+def write_tokens_to_pages_q8(k_pages, k_scales, v_pages, v_scales,
+                             k_new, v_new, *, start_positions, page_tables):
+    """int8 multi-token variant: quantize each token's per-head rows on
+    write. k/v_new: (b, s_q, hkv, d). Returns the four updated arrays."""
+    b, s_q, hkv, _ = k_new.shape
+    page_size = k_pages.shape[1]
+    positions = start_positions[:, None] + jnp.arange(s_q)[None]
+    logical_page = positions // page_size
+    offset = (positions % page_size).reshape(-1)
+    phys = jnp.take_along_axis(page_tables, logical_page, axis=1) \
+        .reshape(-1)
+
+    def write(pages, scales, new):
+        absmax = jnp.max(jnp.abs(new.astype(jnp.float32)), axis=-1)
+        sc = jnp.maximum(absmax / 127.0, 1e-8)            # (b, s_q, hkv)
+        q8 = jnp.clip(jnp.round(new.astype(jnp.float32) / sc[..., None]),
+                      -127, 127).astype(jnp.int8)
+        flat = q8.reshape(b * s_q, -1)
+        sc_pad = jnp.pad(sc.reshape(b * s_q, hkv),
+                         ((0, 0), (0, _LANES - hkv)))
+        return (pages.at[phys, offset].set(flat),
+                scales.at[phys, offset].set(sc_pad))
+
+    k_pages, k_scales = write(k_pages, k_scales, k_new)
+    v_pages, v_scales = write(v_pages, v_scales, v_new)
+    return k_pages, k_scales, v_pages, v_scales
 
 
 def write_token_to_pages_q8(k_pages, k_scales, v_pages, v_scales,
