@@ -439,7 +439,7 @@ def bench_paged_bandwidth():
 
 
 def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
-                     weight_q8=False):
+                     weight_q8=False, spec_draft=0, prefill_chunk=0):
     """Continuous-batching serving on the FULL vicuna-7b config over the
     PALLAS paged-decode path: scan_layers stacks the per-layer paged caches
     (L, pages, page, hkv*d) so ONE paged-attention kernel instance serves
@@ -481,20 +481,27 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
     # chip; the donated single-step path fits with max_len 512
     # pipeline=8: token recording syncs in batches of ~8 steps (one ~45ms
     # tunnel round trip per batch instead of per step)
+    # spec_draft>0: prompt-lookup verify windows through the multi-token
+    # paged kernel — each chunk is one (spec_draft+1)-token forward that
+    # can commit up to spec_draft+1 tokens (acceptance-dependent)
     eng = ServingEngine(model, params, num_slots=num_slots, max_len=512,
                         eos_id=2, pad_id=0, prompt_bucket=128,
                         page_size=128, chunk_steps=1, pipeline=8,
-                        cache_dtype=cache_dtype)
+                        cache_dtype=cache_dtype, spec_draft=spec_draft,
+                        prefill_chunk=prefill_chunk)
     preempts = []
     orig_preempt = eng._preempt_youngest
     eng._preempt_youngest = lambda exclude: (preempts.append(exclude),
                                              orig_preempt(exclude))[1]
     dispatched = [0]
+    forwards = [0]
     orig_step = eng.step
 
     def counting_step():
         n = orig_step()
-        dispatched[0] += n * eng.chunk_steps
+        # token POTENTIAL per chunk (spec windows can commit k+1 each)
+        dispatched[0] += n * eng.tokens_per_chunk
+        forwards[0] += n * eng.chunk_steps
         return n
 
     eng.step = counting_step
@@ -582,28 +589,53 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
         "wasted_decode_tokens": int(wasted),
         "wasted_decode_frac": round(
             max(int(wasted), 0) / max(dispatched[0], 1), 4),
+        # >1.0 means speculative acceptance is paying (tokens committed
+        # per decode forward; plain decode is exactly 1 minus waste)
+        "decode_tokens_per_forward": round(
+            decode_recorded / max(forwards[0], 1), 3),
     }
 
 
-def _wait_for_backend(max_tries: int = 6, base_sleep: float = 20.0):
+def _wait_for_backend(max_tries: int = 6, base_sleep: float = 20.0,
+                      hang_deadline_s: float = 1500.0):
     """Retry backend init with backoff; returns the error string on
     failure, None on success.
 
     The round-3 driver bench died at backend init when the TPU tunnel was
     down and emitted NOTHING (BENCH_r03.json rc=1) — a transient outage
     must never again zero a round's evidence, so main() retries here and
-    always prints a valid primary JSON line even when the chip is gone."""
-    err = "unknown"
-    for i in range(max_tries):
-        try:
-            jax.devices()
-            # a tiny op proves the backend can actually compile+execute
-            float(jnp.asarray(1.0) + 1.0)
-            return None
-        except Exception as e:  # noqa: BLE001 — any init failure retries
-            err = f"{type(e).__name__}: {e}"
-            time.sleep(base_sleep * (1.5 ** i))
-    return err
+    always prints a valid primary JSON line even when the chip is gone.
+
+    Init can also HANG instead of raising (observed: a dead tunnel left
+    ``jax.devices()`` blocked >15 min), so the probe runs in a daemon
+    thread under a deadline; the first compile legitimately takes up to
+    ~10 min through the AOT helper, hence the generous 25-min budget."""
+    import threading
+
+    state = {}
+
+    def probe():
+        err = "unknown"
+        for i in range(max_tries):
+            try:
+                jax.devices()
+                # a tiny op proves the backend can actually compile+run
+                float(jnp.asarray(1.0) + 1.0)
+                state["ok"] = True
+                return
+            except Exception as e:  # noqa: BLE001 — init failures retry
+                err = f"{type(e).__name__}: {e}"
+                time.sleep(base_sleep * (1.5 ** i))
+        state["err"] = err
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(hang_deadline_s)
+    if state.get("ok"):
+        return None
+    if t.is_alive():
+        return f"backend init hung > {hang_deadline_s:.0f}s (tunnel down?)"
+    return state.get("err", "unknown")
 
 
 def main():
@@ -718,6 +750,32 @@ def main():
                 r["p50_inter_token_ms"], 1)))(
             bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                              weight_q8=True))),
+        # engine-integrated speculative decoding: int8 weights + int8 KV
+        # (bf16 7B is gated by the XLA 2..64-token weight-relayout cliff)
+        # + prompt-lookup verify windows through the multi-token paged
+        # kernel. Target: beat the plain int8 rows' tokens/sec.
+        ("serving_spec", lambda: (lambda r: details.update(
+            vicuna7b_serving_spec_tokens_per_sec_8slots=round(
+                r["tokens_per_sec"], 1),
+            serving_spec_steady_tokens_per_sec=round(
+                r["steady_tokens_per_sec"], 1),
+            serving_spec_tokens_per_forward=r["decode_tokens_per_forward"],
+            serving_spec_p50_inter_token_ms=round(
+                r["p50_inter_token_ms"], 1)))(
+            bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
+                             weight_q8=True, spec_draft=4))),
+        # chunked prefill (prefill_chunk=128): prompts admit in (1, 128)
+        # windows straight into pool pages — no insert scatter, ONE
+        # prompt compile signature, and admission's per-request device
+        # syncs replaced by one batched fetch. Target: the r3 TTFT item
+        # (p50 under load < 500 ms at comparable mixed throughput).
+        ("serving_chunked", lambda: (lambda r: details.update(
+            serving_chunked_tokens_per_sec=round(r["tokens_per_sec"], 1),
+            serving_chunked_p50_ttft_under_load_ms=round(
+                r["p50_ttft_under_load_ms"], 1),
+            serving_chunked_p50_inter_token_ms=round(
+                r["p50_inter_token_ms"], 1)))(
+            bench_serving_7b(prefill_chunk=128))),
         # re-time ViT at the end of the run (keep the best window seen)
         ("vit_retime",
          lambda: update_vit(bench_vit_encode(windows=4, gap_s=20.0))),

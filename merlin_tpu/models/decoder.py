@@ -81,6 +81,14 @@ class DecoderConfig:
     # convert.quantize_decoder_params_int8). Embeddings stay full
     # precision (gather-bound); requires the plain lm_head.
     weight_dtype: str = "bf16"
+    # s_q>1 forwards on a PAGED cache: False = from-scratch prefill into
+    # identity-mapped pages (write at position 0); True = a MULTI-TOKEN
+    # window against arbitrary page tables — K/V append at each
+    # sequence's current length and queries attend causally from their
+    # true positions (speculative-verify windows / chunked prefill in
+    # the continuous-batching engine). Params are identical either way:
+    # build a second module sharing the tree via dataclasses.replace.
+    paged_multi_query: bool = False
     remat: bool = False                    # gradient checkpoint each layer
     scan_layers: bool = False              # nn.scan the layer stack (train)
 
@@ -146,8 +154,9 @@ def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
                 "v_pages": jnp.zeros((total, page_size, packed), dtype),
             }
             if dtype == jnp.int8:
-                # one lane per kv head, padded to the 128-lane tile so
-                # scale pages can ride DMAs (ops/paged_attention.py)
+                # strided lane layout (head i at lane i*(128//hkv)) so
+                # scale pages ride DMAs AND shard over a tensor axis
+                # like the value pages (ops/paged_attention._scale_row)
                 out["k_scales"] = jnp.zeros(
                     (total, page_size, 128), jnp.float32)
                 out["v_scales"] = jnp.zeros(
@@ -246,7 +255,6 @@ class Attention(nn.Module):
                 impl = os.environ.get("MERLIN_PAGED_DECODE", "pallas")
                 use_pallas = (jax.default_backend() == "tpu"
                               and impl == "pallas")
-                mha = q.shape[2] == hkv
                 has_slopes = slopes is not None
 
                 def token_step(q1, kp_, ks_, vp_, vs_, k1, v1, lens,
@@ -267,17 +275,15 @@ class Attention(nn.Module):
                             kp_, vp_, k1, v1, positions=lens,
                             page_tables=tabs)
                     if use_pallas:
-                        if q8 and not has_slopes and mha:
+                        if q8:
+                            # one DMA kernel for MHA/GQA/ALiBi: the
+                            # s_q==1 case of the multi-token q8 kernel
+                            # (its one-hot scale expansion is
+                            # group-agnostic)
                             from merlin_tpu.ops.paged_attention import (
                                 paged_attention_dma_q8)
 
                             step = paged_attention_dma_q8(
-                                q1, kp_, ks_, vp_, vs_, lens + 1, tabs)
-                        elif q8:
-                            from merlin_tpu.ops.paged_attention import (
-                                paged_attention_quantized)
-
-                            step = paged_attention_quantized(
                                 q1, kp_, ks_, vp_, vs_, lens + 1, tabs,
                                 alibi_slopes=sl)
                         elif not has_slopes:
@@ -308,10 +314,12 @@ class Attention(nn.Module):
 
                 mesh = get_global_mesh()
                 tp = mesh.shape.get("tensor", 1) if mesh is not None else 1
-                # q8 excluded: scale pages put head i at LANE i padded to
-                # 128, so a lane shard is not a head shard there
+                # q8 scale pages use the strided lane layout (head i at
+                # lane i*(128//hkv)) so lane shards == head shards; TP
+                # requires hkv | 128 for the stride to stay consistent
+                # between the global layout and each shard's local view
                 wrap = (tp > 1 and q.shape[2] % tp == 0 and hkv % tp == 0
-                        and not q8)
+                        and (not q8 or 128 % hkv == 0))
                 ks_in = ks if q8 else jnp.zeros((1, 1, 1), jnp.float32)
                 vs_in = vs if q8 else jnp.zeros((1, 1, 1), jnp.float32)
                 sl_in = (slopes if has_slopes
@@ -321,8 +329,11 @@ class Attention(nn.Module):
                     from jax.sharding import PartitionSpec as P
 
                     lane = P(None, None, "tensor")
-                    scale_spec = P(None, None, None)  # wrap excludes q8:
-                    # ks/vs here are always the replicated dummies
+                    # q8: scale pages shard lanes with the values (the
+                    # strided layout makes that a head shard); bf16:
+                    # ks/vs are replicated dummies
+                    scale_spec = (P(None, None, "tensor") if q8
+                                  else P(None, None, None))
                     head = P(None, "tensor", None)
                     out_step, kp, ks_out, vp, vs_out = shard_map(
                         token_step, mesh=mesh,
@@ -341,6 +352,96 @@ class Attention(nn.Module):
                 if q8:
                     ks, vs = ks_out, vs_out
                 out = out_step[:, None]
+            elif self.cfg.paged_multi_query:
+                # multi-token window against ARBITRARY tables (speculative
+                # verify / chunked prefill): append the window's K/V at
+                # each sequence's current length, then attend causally
+                # from true positions over the whole paged history.
+                impl = os.environ.get("MERLIN_PAGED_DECODE", "pallas")
+                use_pallas = (jax.default_backend() == "tpu"
+                              and impl == "pallas")
+                has_slopes = slopes is not None
+
+                def window_step(qw, kp_, ks_, vp_, vs_, kw, vw, lens,
+                                tabs, slopes_):
+                    """Write an s_q window and attend over the pages.
+                    Per-head parallel (shard_map'able like token_step)."""
+                    sl = slopes_ if has_slopes else None
+                    if q8:
+                        from merlin_tpu.ops.paged_attention import (
+                            write_tokens_to_pages_q8)
+
+                        kp_, ks_, vp_, vs_ = write_tokens_to_pages_q8(
+                            kp_, ks_, vp_, vs_, kw, vw,
+                            start_positions=lens, page_tables=tabs)
+                    else:
+                        from merlin_tpu.ops.paged_attention import (
+                            write_tokens_to_pages)
+
+                        kp_, vp_ = write_tokens_to_pages(
+                            kp_, vp_, kw, vw, start_positions=lens,
+                            page_tables=tabs)
+                    new_lens = lens + s_q
+                    if use_pallas:
+                        if q8:
+                            from merlin_tpu.ops.paged_attention import (
+                                paged_attention_dma_multi_q8)
+
+                            step = paged_attention_dma_multi_q8(
+                                qw, kp_, ks_, vp_, vs_, new_lens, tabs,
+                                alibi_slopes=sl)
+                        else:
+                            from merlin_tpu.ops.paged_attention import (
+                                paged_attention_dma_multi)
+
+                            step = paged_attention_dma_multi(
+                                qw, kp_, vp_, new_lens, tabs,
+                                alibi_slopes=sl)
+                    else:
+                        from merlin_tpu.ops.paged_attention import (
+                            dequantize_pages,
+                            paged_attention_multi_reference)
+                        kd, vd = ((dequantize_pages(kp_, ks_, d),
+                                   dequantize_pages(vp_, vs_, d))
+                                  if q8 else (kp_, vp_))
+                        step = paged_attention_multi_reference(
+                            qw, kd, vd, new_lens, tabs, alibi_slopes=sl)
+                    return step, kp_, ks_, vp_, vs_
+
+                from merlin_tpu.core.mesh import get_global_mesh
+
+                mesh = get_global_mesh()
+                tp = mesh.shape.get("tensor", 1) if mesh is not None else 1
+                wrap = (tp > 1 and q.shape[2] % tp == 0 and hkv % tp == 0
+                        and (not q8 or 128 % hkv == 0))
+                ks_in = ks if q8 else jnp.zeros((1, 1, 1), jnp.float32)
+                vs_in = vs if q8 else jnp.zeros((1, 1, 1), jnp.float32)
+                sl_in = (slopes if has_slopes
+                         else jnp.zeros((q.shape[2],), jnp.float32))
+                if wrap:
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    lane = P(None, None, "tensor")
+                    scale_spec = (P(None, None, "tensor") if q8
+                                  else P(None, None, None))
+                    headw = P(None, None, "tensor", None)
+                    out_step, kp, ks_out, vp, vs_out = shard_map(
+                        window_step, mesh=mesh,
+                        in_specs=(headw, lane, scale_spec, lane, scale_spec,
+                                  headw, headw, P(None), P(None, None),
+                                  P("tensor")),
+                        out_specs=(headw, lane, scale_spec, lane,
+                                   scale_spec),
+                        check_vma=False,
+                    )(q, kp, ks_in, vp, vs_in, k, v, lengths, tables, sl_in)
+                else:
+                    out_step, kp, ks_out, vp, vs_out = window_step(
+                        q, kp, ks_in, vp, vs_in, k, v, lengths, tables,
+                        sl_in)
+                if q8:
+                    ks, vs = ks_out, vs_out
+                out = out_step
             else:
                 # prefill: bulk-write the prompt into the (identity-mapped)
                 # pages; attention is plain self-attention over the prompt.
@@ -672,6 +773,10 @@ class CausalLM(nn.Module):
                 new_cache["page_tables"] = kv_cache["page_tables"]
                 if s == 1:
                     new_cache["lengths"] = kv_cache["lengths"] + 1
+                elif cfg.paged_multi_query:
+                    # a verify window appends s tokens; callers roll back
+                    # rejected drafts by overwriting lengths afterwards
+                    new_cache["lengths"] = kv_cache["lengths"] + s
                 elif segment_ids is not None:
                     new_cache["lengths"] = (
                         (segment_ids > 0).sum(axis=1).astype(jnp.int32))

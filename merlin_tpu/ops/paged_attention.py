@@ -376,175 +376,26 @@ def paged_attention_dma(
     return out
 
 
-def _paged_dma_q8_kernel(
-    lengths_ref, page_tables_ref,
-    qbd_ref, k_hbm_ref, ks_hbm_ref, v_hbm_ref, vs_hbm_ref,
-    out_ref,
-    k_buf, ks_buf, v_buf, vs_buf, sems, m_scr, l_scr, acc_scr,
-    *, scale: float, page_size: int, pages_per_block: int,
-    max_blocks: int, hkv: int, d: int,
-):
-    """int8 variant of the head-packed DMA kernel (MHA: group == 1).
-
-    Scales fold OUTSIDE the matmuls: s[h, t] = (qbd @ k_int8^T)[h, t] *
-    k_scale[t, h] and the V scale multiplies P before the P@V matmul —
-    so the MXU operands stay int8-cast-bf16 and no (tokens, hkv*d)
-    dequantized tile is ever materialized."""
-    t = pl.program_id(0)
-    total = pl.num_programs(0)
-    block_tokens = page_size * pages_per_block
-
-    def unflatten(tt):
-        return tt // max_blocks, jax.lax.rem(tt, max_blocks)
-
-    def active(tt):
-        b_t, blk_t = unflatten(tt)
-        return blk_t * block_tokens < lengths_ref[b_t]
-
-    def copies(tt, slot):
-        b_t, blk_t = unflatten(tt)
-        out = []
-        for j in range(pages_per_block):
-            page = page_tables_ref[b_t, blk_t * pages_per_block + j]
-            out.append(pltpu.make_async_copy(
-                k_hbm_ref.at[page], k_buf.at[slot, j], sems.at[0, slot, j]))
-            out.append(pltpu.make_async_copy(
-                v_hbm_ref.at[page], v_buf.at[slot, j], sems.at[1, slot, j]))
-            out.append(pltpu.make_async_copy(
-                ks_hbm_ref.at[page], ks_buf.at[slot, j], sems.at[2, slot, j]))
-            out.append(pltpu.make_async_copy(
-                vs_hbm_ref.at[page], vs_buf.at[slot, j], sems.at[3, slot, j]))
-        return out
-
-    b, blk = unflatten(t)
-    length = lengths_ref[b]
-    slot = jax.lax.rem(t, 2)
-
-    @pl.when(t == 0)
-    def _bootstrap():
-        for c in copies(0, 0):
-            c.start()
-
-    @pl.when(jnp.logical_and(t + 1 < total, active(t + 1)))
-    def _prefetch_next():
-        for c in copies(t + 1, 1 - slot):
-            c.start()
-
-    @pl.when(blk == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    @pl.when(active(t))
-    def _compute():
-        for c in copies(t, slot):
-            c.wait()
-        k = k_buf[slot].reshape(block_tokens, hkv * d).astype(jnp.bfloat16)
-        v = v_buf[slot].reshape(block_tokens, hkv * d).astype(jnp.bfloat16)
-        k_sc = ks_buf[slot].reshape(block_tokens, _LANES)[:, :hkv]
-        v_sc = vs_buf[slot].reshape(block_tokens, _LANES)[:, :hkv]
-
-        s = jax.lax.dot_general(
-            qbd_ref[0], k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (hkv, tokens)
-        s = s * k_sc.T * scale
-        k_pos = blk * block_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos < length, s, NEG_INF)
-
-        m_prev = m_scr[:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        p_scaled = p * v_sc.T                            # fold v's scales
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p_scaled.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
-    @pl.when(jnp.logical_and(
-        active(t),
-        jnp.logical_or(blk == max_blocks - 1,
-                       (blk + 1) * block_tokens >= length)))
-    def _finalize():
-        l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)
-        acc = acc_scr[:] / l
-        for qh in range(hkv):
-            sl = slice(qh * d, qh * d + d)
-            out_ref[0, qh, :] = acc[qh, sl].astype(out_ref.dtype)
-
-
 def paged_attention_dma_q8(
     q: jax.Array, k_values: jax.Array, k_scales: jax.Array,
     v_values: jax.Array, v_scales: jax.Array,
     lengths: jax.Array, page_tables: jax.Array, *,
+    alibi_slopes: Optional[jax.Array] = None,
     pages_per_block: Optional[int] = None, scale: Optional[float] = None,
 ) -> jax.Array:
-    """Head-packed DMA decode over int8 pages (MHA only: h == hkv).
+    """Head-packed DMA decode over int8 pages (any head grouping).
 
-    k/v_values: (P, page, hkv*d) int8; k/v_scales: (P, page, hkv) f32."""
-    b, h, d = q.shape
-    total_pages, page_size, packed = k_values.shape
-    hkv = packed // d
-    assert h == hkv, "q8 DMA kernel is MHA-only; GQA uses the blockspec q8"
-    pages_per_seq = page_tables.shape[1]
-    page_bytes = page_size * packed  # int8
-    cap = max(1, _DMA_VMEM_BUDGET // (4 * page_bytes))
-    pages_per_block = cap if pages_per_block is None else min(
-        pages_per_block, cap)
-    while pages_per_seq % pages_per_block:
-        pages_per_block -= 1
-    pages_per_block = max(pages_per_block, 1)
-    max_blocks = pages_per_seq // pages_per_block
-    scale = scale if scale is not None else d ** -0.5
-
-    lane_head = jnp.arange(packed) // d
-    diag = (lane_head[None, :] == jnp.arange(h)[:, None])
-    qbd = jnp.where(diag[None], jnp.tile(q, (1, 1, hkv)), 0) \
-        .astype(jnp.bfloat16)
-
-    def cell_map(t, lens, tables):
-        return t // max_blocks, 0, 0
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b * max_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, h, packed), cell_map),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, h, d), cell_map),
-        scratch_shapes=[
-            pltpu.VMEM((2, pages_per_block, page_size, packed), jnp.int8),
-            pltpu.VMEM((2, pages_per_block, page_size, _LANES), jnp.float32),
-            pltpu.VMEM((2, pages_per_block, page_size, packed), jnp.int8),
-            pltpu.VMEM((2, pages_per_block, page_size, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, 2, pages_per_block)),
-            pltpu.VMEM((h, _LANES), jnp.float32),
-            pltpu.VMEM((h, _LANES), jnp.float32),
-            pltpu.VMEM((h, packed), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _paged_dma_q8_kernel, scale=scale, page_size=page_size,
-            pages_per_block=pages_per_block, max_blocks=max_blocks,
-            hkv=hkv, d=d),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
-      qbd, k_values, k_scales, v_values, v_scales)
-    return out
+    q: (b, h, d); k/v_values: (P, page, hkv*d) int8; k/v_scales:
+    (P, page, S) f32 in the strided layout (head i at lane i*(S//hkv)).
+    The s_q==1 case of the multi-token kernel: its wrapper-side one-hot
+    scale expansion handles MHA, GQA, and ALiBi uniformly (the retired
+    dedicated kernel's contiguous lane-slice was MHA-only and pinned the
+    head==lane scale layout that blocked TP sharding)."""
+    out = paged_attention_dma_multi_q8(
+        q[:, None], k_values, k_scales, v_values, v_scales,
+        lengths, page_tables, alibi_slopes=alibi_slopes,
+        pages_per_block=pages_per_block, scale=scale)
+    return out[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -885,9 +736,9 @@ def _paged_dma_multi_q8_kernel(
             c.wait()
         k = k_buf[slot].reshape(block_tokens, hkv * d).astype(jnp.bfloat16)
         v = v_buf[slot].reshape(block_tokens, hkv * d).astype(jnp.bfloat16)
-        k_sc = ks_buf[slot].reshape(block_tokens, _LANES)
-        v_sc = vs_buf[slot].reshape(block_tokens, _LANES)
-        oh = kv_onehot_ref[0]                            # (R, 128)
+        k_sc = ks_buf[slot].reshape(block_tokens, ks_buf.shape[-1])
+        v_sc = vs_buf[slot].reshape(block_tokens, vs_buf.shape[-1])
+        oh = kv_onehot_ref[0]                            # (R, S)
 
         s = jax.lax.dot_general(
             qbd_ref[0], k, (((1,), (1,)), ((), ())),
@@ -948,14 +799,20 @@ def paged_attention_dma_multi_q8(
     """Multi-token (or GQA single-token) paged attention over int8 pages.
 
     q: (b, s_q, h, d); k/v_values: (P, page, hkv*d) int8; k/v_scales:
-    (P, page, 128) f32 (lane per kv head). Returns (b, s_q, h, d)."""
+    (P, page, S) f32, head i's scale at lane i*(S//hkv) (the strided
+    layout keeps lane shards == head shards so int8 pools compose with
+    tensor-parallel serving; under shard_map S and hkv are the LOCAL
+    lane/head counts and the stride is unchanged). Returns
+    (b, s_q, h, d)."""
     b, s_q, h, d = q.shape
     total_pages, page_size, packed = k_values.shape
     hkv = packed // d
     group = h // hkv
     R = s_q * h
+    S = k_scales.shape[-1]
+    stride = max(S // hkv, 1)
     pages_per_seq = page_tables.shape[1]
-    page_bytes = page_size * (packed + 2 * _LANES * 4)  # int8 + f32 scales
+    page_bytes = page_size * (packed + 2 * S * 4)  # int8 + f32 scales
     fixed = R * packed * (2 + 4) + R * packed * 4
     cap = max(1, (_DMA_VMEM_BUDGET - min(fixed, _DMA_VMEM_BUDGET // 2))
               // (4 * page_bytes))
@@ -972,8 +829,8 @@ def paged_attention_dma_multi_q8(
     _, qh_of_row = _mq_rows(s_q, h, group)
     kv_of_row = qh_of_row // group
     onehot = jnp.asarray(
-        np.arange(_LANES)[None, :] == kv_of_row[:, None],
-        jnp.float32)[None]                               # (1, R, 128)
+        np.arange(S)[None, :] == kv_of_row[:, None] * stride,
+        jnp.float32)[None]                               # (1, R, S)
     if use_alibi:
         slope_rows = jnp.broadcast_to(
             alibi_slopes.astype(jnp.float32)[qh_of_row][:, None],
@@ -990,7 +847,7 @@ def paged_attention_dma_multi_q8(
         grid=(b * max_blocks,),
         in_specs=[
             pl.BlockSpec((1, R, packed), cell_map),
-            pl.BlockSpec((1, R, _LANES), const_map),
+            pl.BlockSpec((1, R, S), const_map),
             pl.BlockSpec((1, R, _LANES), const_map),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1000,9 +857,9 @@ def paged_attention_dma_multi_q8(
         out_specs=pl.BlockSpec((1, R, d), cell_map),
         scratch_shapes=[
             pltpu.VMEM((2, pages_per_block, page_size, packed), jnp.int8),
-            pltpu.VMEM((2, pages_per_block, page_size, _LANES), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size, S), jnp.float32),
             pltpu.VMEM((2, pages_per_block, page_size, packed), jnp.int8),
-            pltpu.VMEM((2, pages_per_block, page_size, _LANES), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size, S), jnp.float32),
             pltpu.SemaphoreType.DMA((4, 2, pages_per_block)),
             pltpu.VMEM((R, _LANES), jnp.float32),
             pltpu.VMEM((R, _LANES), jnp.float32),
@@ -1027,14 +884,30 @@ def paged_attention_dma_multi_q8(
 # int8-quantized pages (halves the page-load bandwidth; guide §13 pattern)
 # ---------------------------------------------------------------------------
 
+def _scale_row(sc: jax.Array, lanes: int) -> jax.Array:
+    """(..., hkv) per-head scales -> (..., lanes) STRIDED scale row:
+    head i's scale at lane i*(lanes//hkv), zeros elsewhere.
+
+    The stride keeps lane blocks == head blocks, so scale pages shard
+    over a tensor axis exactly like the head-packed value pages (a
+    head==lane layout parks every head's scale in shard 0's lanes).
+    Under shard_map hkv and lanes are the LOCAL counts and the stride is
+    identical, so local writes land where global reads expect them."""
+    hkv = sc.shape[-1]
+    stride = max(lanes // hkv, 1)
+    out = jnp.zeros(sc.shape[:-1] + (lanes,), sc.dtype)
+    return out.at[..., 0:hkv * stride:stride].set(sc)
+
+
 def quantize_pages(pages: jax.Array, head_dim: int
                    ) -> Tuple[jax.Array, jax.Array]:
     """(P, page, hkv*d) float -> (int8 values same shape,
     scales (P, page, 128)).
 
     Per-(token, head) absmax scaling: each cached token's d-vector per kv
-    head gets one scale (first hkv lanes; the rest pad to the 128-lane
-    tile so scale pages can ride DMAs and tiled VMEM buffers).
+    head gets one scale, stored in the strided lane layout
+    (:func:`_scale_row`) padded to the 128-lane tile so scale pages ride
+    DMAs / tiled VMEM buffers and shard like the value pages.
     """
     p_, page, packed = pages.shape
     hkv = packed // head_dim
@@ -1044,16 +917,17 @@ def quantize_pages(pages: jax.Array, head_dim: int
     values = jnp.clip(jnp.round(split / scales), -127, 127) \
         .astype(jnp.int8).reshape(p_, page, packed)
     sc = scales[..., 0].astype(jnp.float32)
-    return values, jnp.pad(sc, ((0, 0), (0, 0), (0, _LANES - hkv)))
+    return values, _scale_row(sc, _LANES)
 
 
 def dequantize_pages(values: jax.Array, scales: jax.Array,
                      head_dim: int, dtype=jnp.bfloat16) -> jax.Array:
     p_, page, packed = values.shape
     hkv = packed // head_dim
+    stride = max(scales.shape[-1] // hkv, 1)
     split = values.astype(jnp.float32).reshape(p_, page, hkv, head_dim)
-    return (split * scales[..., :hkv, None]).astype(dtype).reshape(
-        p_, page, packed)
+    sc = scales[..., 0:hkv * stride:stride]
+    return (split * sc[..., None]).astype(dtype).reshape(p_, page, packed)
 
 
 def _paged_q8_kernel(
@@ -1062,7 +936,7 @@ def _paged_q8_kernel(
     out_ref,
     m_scr, l_scr, acc_scr,
     *, scale: float, page_size: int, group: int, hkv: int,
-    use_alibi: bool,
+    scale_stride: int, use_alibi: bool,
 ):
     b = pl.program_id(0)
     hk = pl.program_id(1)
@@ -1077,11 +951,12 @@ def _paged_q8_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     def scale_col(scale_ref):
-        # scales block is (page, 128) with one lane per kv head; a dynamic
-        # lane slice does not lower, so select column hk via one-hot reduce
-        sc = scale_ref[0]                              # (page, _LANES)
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-              == hk).astype(sc.dtype)
+        # scales block is (page, S), head hk at lane hk*stride (strided
+        # layout); a dynamic lane slice does not lower, so select the
+        # column via one-hot reduce
+        sc = scale_ref[0]                              # (page, S)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (1, sc.shape[-1]), 1)
+              == hk * scale_stride).astype(sc.dtype)
         return jnp.sum(sc * oh, axis=1, keepdims=True)  # (page, 1)
 
     @pl.when(pi * page_size < length)
@@ -1135,11 +1010,13 @@ def paged_attention_quantized(
     """Decode attention over int8 pages + per-(token, head) scales.
 
     k_values/v_values: (P, page, hkv*d) int8; k_scales/v_scales:
-    (P, page, hkv) f32. Returns (b, h, d)."""
+    (P, page, S) f32, strided lane layout. Returns (b, h, d)."""
     b, h, d = q.shape
     total_pages, page_size, packed = k_values.shape
     hkv = packed // d
     group = h // hkv
+    S = k_scales.shape[-1]
+    scale_stride = max(S // hkv, 1)
     pages_per_seq = page_tables.shape[1]
     scale = scale if scale is not None else d ** -0.5
     use_alibi = alibi_slopes is not None
@@ -1151,7 +1028,7 @@ def paged_attention_quantized(
         (1, page_size, d),
         lambda b_, h_, p_, lens, tables, sl: (tables[b_, p_], 0, h_))
     scale_block = pl.BlockSpec(
-        (1, page_size, _LANES),
+        (1, page_size, S),
         lambda b_, h_, p_, lens, tables, sl: (tables[b_, p_], 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1172,7 +1049,8 @@ def paged_attention_quantized(
     )
     out = pl.pallas_call(
         functools.partial(_paged_q8_kernel, scale=scale, page_size=page_size,
-                          group=group, hkv=hkv, use_alibi=use_alibi),
+                          group=group, hkv=hkv, scale_stride=scale_stride,
+                          use_alibi=use_alibi),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -1309,10 +1187,9 @@ def write_tokens_to_pages_q8(k_pages, k_scales, v_pages, v_scales,
         q8 = jnp.clip(jnp.round(new.astype(jnp.float32) / sc[..., None]),
                       -127, 127).astype(jnp.int8)
         flat = q8.reshape(b * s_q, -1)
-        sc_pad = jnp.pad(sc.reshape(b * s_q, hkv),
-                         ((0, 0), (0, _LANES - hkv)))
+        row = _scale_row(sc.reshape(b * s_q, hkv), scales.shape[-1])
         return (pages.at[phys, offset].set(flat),
-                scales.at[phys, offset].set(sc_pad))
+                scales.at[phys, offset].set(row))
 
     k_pages, k_scales = write(k_pages, k_scales, k_new)
     v_pages, v_scales = write(v_pages, v_scales, v_new)
@@ -1323,9 +1200,9 @@ def write_token_to_pages_q8(k_pages, k_scales, v_pages, v_scales,
                             k_new, v_new, *, positions, page_tables):
     """int8 variant: quantize each token's per-head rows on write.
 
-    k/v_pages: (P, page, hkv*d) int8; k/v_scales: (P, page, 128) f32
-    (lane per kv head); k/v_new: (b, hkv, d). Returns the four updated
-    arrays."""
+    k/v_pages: (P, page, hkv*d) int8; k/v_scales: (P, page, S) f32 in
+    the strided lane layout (:func:`_scale_row`); k/v_new: (b, hkv, d).
+    Returns the four updated arrays."""
     page_size = k_pages.shape[1]
     logical_page = positions // page_size
     offset = positions % page_size
@@ -1338,9 +1215,9 @@ def write_token_to_pages_q8(k_pages, k_scales, v_pages, v_scales,
         q8 = jnp.clip(jnp.round(new.astype(jnp.float32) / sc[..., None]),
                       -127, 127).astype(jnp.int8)
         flat = q8.reshape(q8.shape[0], -1)
-        sc_pad = jnp.pad(sc, ((0, 0), (0, _LANES - sc.shape[1])))
+        row = _scale_row(sc, scales.shape[-1])
         return (pages.at[phys, offset].set(flat),
-                scales.at[phys, offset].set(sc_pad))
+                scales.at[phys, offset].set(row))
 
     k_pages, k_scales = write(k_pages, k_scales, k_new)
     v_pages, v_scales = write(v_pages, v_scales, v_new)

@@ -32,10 +32,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from merlin_tpu.generate.speculative import _scatter_rows
 from merlin_tpu.models.decoder import init_kv_cache
 from merlin_tpu.ops.paged_attention import PagePool
 
 _TRASH = "__trash__"   # PagePool seq-id pinning physical page 0
+
+
+def _multi_query_model(model):
+    """Clone the serving model with cfg.paged_multi_query=True.
+
+    Flax modules are stateless, so the clone shares the exact param tree;
+    only the s_q>1 paged branch changes (verify windows over arbitrary
+    tables instead of identity-mapped prefill)."""
+    import dataclasses as dc
+
+    cfg = model.cfg
+    if hasattr(cfg, "lm"):
+        cfg = dc.replace(cfg, lm=dc.replace(cfg.lm, paged_multi_query=True))
+    else:
+        cfg = dc.replace(cfg, paged_multi_query=True)
+    return type(model)(cfg)
 
 
 @dataclasses.dataclass
@@ -67,8 +84,36 @@ class ServingEngine:
                  prompt_bucket: int = 128, page_size: int = 128,
                  cache_dtype=jnp.bfloat16, rng_seed: int = 0,
                  chunk_steps: int = 8, pipeline: int = 1,
-                 mesh=None, param_shardings=None):
+                 mesh=None, param_shardings=None,
+                 spec_draft: int = 0, spec_ngram: int = 2,
+                 prefill_chunk: int = 0):
+        # --- engine-integrated speculative decoding --------------------
+        # spec_draft=k > 0 turns each engine step into prompt-lookup
+        # verify WINDOWS: every active slot proposes k draft tokens from
+        # its own token history (n-gram continuation), one (k+1)-token
+        # multi-token paged forward scores them, and the accepted prefix
+        # commits — greedy slots emit up to k+1 tokens per forward at
+        # one forward's HBM cost (decode is parameter-read-bound).
+        # Rejected drafts need NO rollback machinery: per-slot `lengths`
+        # snap back and later windows overwrite the dead page rows.
+        # Sampled (temperature>0) slots ride along at 1 token/window.
+        # chunk_steps then counts WINDOWS per jitted chunk.
+        self.spec_draft = int(spec_draft)
+        self.spec_ngram = int(spec_ngram)
+        # --- chunked prefill -------------------------------------------
+        # prefill_chunk=C > 0 admits prompts in fixed (1, C) windows
+        # through the multi-token paged path, writing K/V DIRECTLY into
+        # the slot's pool pages (arbitrary tables) instead of
+        # prefill-into-identity-pages + insert scatter. One jit
+        # signature regardless of prompt length (vs one compile per
+        # prompt bucket), no small-cache allocation, no insert pass.
+        # Keep C >= 128: 2..64-token forwards hit the XLA
+        # weight-relayout cliff at 7B bf16 (CLAUDE.md).
+        self.prefill_chunk = int(prefill_chunk)
         self.chunk_steps = max(int(chunk_steps), 1)
+        # worst-case cache/token growth of one jitted chunk
+        self.tokens_per_chunk = self.chunk_steps * (
+            (self.spec_draft + 1) if self.spec_draft else 1)
         # in-flight chunks whose tokens are synced one step late: reading
         # a chunk's result pays compute + the full host<->device round
         # trip (~27 ms through the remote tunnel — measured to DOUBLE a
@@ -86,8 +131,9 @@ class ServingEngine:
         # params shard per `param_shardings` (core/partitioning rules via
         # sharding_for_tree); the paged pool shards its head-packed lane
         # dim over 'tensor' (a lane shard IS a head shard); GSPMD + the
-        # decoder's shard_map'd paged token step do the rest. bf16 pools
-        # only (int8 scale pages are head==lane padded to 128).
+        # decoder's shard_map'd paged token step do the rest. int8 pools
+        # shard too via the strided scale-lane layout (requires
+        # hkv | 128 so the stride survives sharding).
         self.mesh = mesh
         self._prev_mesh = None
         if mesh is not None:
@@ -126,10 +172,10 @@ class ServingEngine:
         if mesh is not None and mesh.shape.get("tensor", 1) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if self._cache_dtype == jnp.int8:
+            if self._cache_dtype == jnp.int8 and 128 % lm_cfg.kv_heads:
                 raise ValueError(
-                    "tensor-sharded serving supports bf16 pools only "
-                    "(int8 scale pages are head==lane padded to 128)")
+                    "tensor-sharded int8 pools need kv_heads | 128 (the "
+                    "strided scale-lane layout must align to the shard)")
             tp = mesh.shape["tensor"]
             if lm_cfg.num_heads % tp or lm_cfg.kv_heads % tp:
                 # an undivisible pool would shard mid-head AND skip the
@@ -233,10 +279,149 @@ class ServingEngine:
                 body, (tokens, cache), rngs)
             return all_toks.T, last, cache  # (slots, chunk_steps)
 
+        def first_token(logits, temp, rng):
+            """Sample the post-prefill token ON DEVICE: admission used to
+            fetch it immediately (int(argmax(...))), paying one full
+            host<->device round trip (~45 ms through the tunnel) PER
+            admitted request — the dominant term in TTFT under load.
+            _admit now stages these scalars and fetches the whole
+            admission batch in ONE transfer."""
+            greedy = jnp.argmax(logits[0])
+            sampled = jax.random.categorical(
+                rng, logits[0] / jnp.maximum(temp, 1e-4))
+            return jnp.where(temp > 1e-4, sampled, greedy).astype(jnp.int32)
+
         self._prefill = jax.jit(prefill)
         self._insert = jax.jit(insert, donate_argnums=(0,))
         self._decode = jax.jit(decode_one, donate_argnums=(2,))
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(2,))
+        self._first_token = jax.jit(first_token)
+
+        multi_model = (_multi_query_model(model)
+                       if (self.spec_draft or self.prefill_chunk) else None)
+
+        if self.prefill_chunk:
+            C = self.prefill_chunk
+
+            def prefill_window(params, ids, layers, tables_row, start,
+                               row, temp, rng):
+                """One (1, C) prompt window straight into pool pages.
+
+                ``start``: tokens already written for this slot; the
+                window appends at start..start+C-1 and attends causally
+                over the slot's whole paged history. ``row``: window row
+                of the prompt's LAST real token (first-token sampling —
+                only the final window's value is used; padded rows write
+                garbage K/V at positions >= plen, which decode overwrites
+                before they are ever attended)."""
+                cache = {"layers": layers, "page_tables": tables_row,
+                         "lengths": start[None],
+                         "index": jnp.zeros((), jnp.int32)}
+                positions = start[None, None] + jnp.arange(C)[None]
+                logits, new_cache = multi_model.apply(
+                    {"params": params}, ids, positions=positions,
+                    kv_cache=cache)
+                tok = first_token(logits[:, row], temp, rng)
+                return new_cache["layers"], tok
+
+            self._prefill_window = jax.jit(
+                prefill_window, donate_argnums=(2,))
+
+        # --- speculative windows ----------------------------------------
+        if self.spec_draft:
+            k = self.spec_draft
+            ngram = self.spec_ngram
+            # host mirror of per-slot token history (prompt + emitted);
+            # device copies are rebuilt lazily after fail_all
+            self._hist_np = np.zeros((num_slots, max_len), np.int32)
+            self._hist_len_np = np.zeros(num_slots, np.int32)
+            self._hist_dev = None
+            self._hist_len_dev = None
+
+            def propose(hist, cur):
+                """Latest-occurrence n-gram continuation from history
+                (same vectorized shift-compare as generate/speculative)."""
+                b, L = hist.shape
+                tail = jnp.take_along_axis(
+                    hist, jnp.maximum(
+                        cur[:, None] - ngram + jnp.arange(ngram)[None], 0),
+                    axis=1)
+                npos = L - ngram + 1
+                match = jnp.ones((b, npos), bool)
+                for t_ in range(ngram):
+                    match &= hist[:, t_:t_ + npos] == tail[:, t_:t_ + 1]
+                pos = jnp.arange(npos)[None]
+                match &= pos + ngram <= (cur - 1)[:, None]
+                best = jnp.max(jnp.where(match, pos, -1), axis=1)
+                has = best >= 0
+                start = jnp.where(has, best + ngram, 0)
+                draft = jnp.take_along_axis(
+                    hist, jnp.clip(start[:, None] + jnp.arange(k)[None],
+                                   0, L - 1), axis=1)
+                last = jnp.take_along_axis(
+                    hist, jnp.maximum(cur[:, None] - 1, 0), axis=1)
+                return jnp.where(has[:, None], draft, last)   # (b, k)
+
+            def spec_window(params, toks, cache, active, hist, hist_len,
+                            rng, temps):
+                lengths = cache["lengths"]
+                draft = propose(hist, hist_len)
+                ids = jnp.concatenate([toks[:, None], draft], axis=1)
+                positions = lengths[:, None] + jnp.arange(k + 1)[None]
+                logits, new_cache = multi_model.apply(
+                    {"params": params}, ids, positions=positions,
+                    kv_cache=cache)
+                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                greedy_row = temps <= 1e-4
+                sampled0 = jax.random.categorical(
+                    rng, logits[:, 0] / jnp.maximum(temps[:, None], 1e-4),
+                    axis=-1).astype(jnp.int32)
+                cand = g.at[:, 0].set(
+                    jnp.where(greedy_row, g[:, 0], sampled0))
+                ok = jnp.cumprod((g[:, :k] == draft).astype(jnp.int32),
+                                 axis=1)
+                m = ok.sum(axis=1)
+                count = jnp.where(greedy_row, m + 1, 1)
+                count = jnp.where(active, count, 0)
+                emit_mask = jnp.arange(k + 1)[None] < count[:, None]
+                emitted = jnp.where(emit_mask, cand, -1)   # -1 = hole
+                new_cache = dict(new_cache)
+                new_cache["lengths"] = jnp.where(
+                    active, lengths + count, lengths)
+                hist = _scatter_rows(hist, hist_len, cand, emit_mask)
+                hist_len = hist_len + count
+                nxt = jnp.take_along_axis(
+                    cand, jnp.maximum(count - 1, 0)[:, None], axis=1)[:, 0]
+                nxt = jnp.where(active, nxt, toks)
+                return nxt, new_cache, hist, hist_len, emitted
+
+            def spec_chunk(params, tokens, cache, active, hist, hist_len,
+                           rng, temps):
+                if self.chunk_steps == 1:
+                    # no-scan path (mirrors decode_one): the window scan's
+                    # carry would hold a second copy of the paged pool
+                    # during compile — at 7B the donated single-window
+                    # call is what fits the chip
+                    nxt, cache_, hist_, hl, emitted = spec_window(
+                        params, tokens, cache, active, hist, hist_len,
+                        rng, temps)
+                    return emitted, nxt, cache_, hist_, hl
+
+                def body(carry, step_rng):
+                    toks, cache_, hist_, hl = carry
+                    nxt, cache_, hist_, hl, emitted = spec_window(
+                        params, toks, cache_, active, hist_, hl,
+                        step_rng, temps)
+                    return (nxt, cache_, hist_, hl), emitted
+
+                rngs = jax.random.split(rng, self.chunk_steps)
+                (last, cache, hist, hist_len), em = jax.lax.scan(
+                    body, (tokens, cache, hist, hist_len), rngs)
+                # (windows, slots, k+1) -> (slots, windows*(k+1)) in order
+                em = em.transpose(1, 0, 2).reshape(em.shape[1], -1)
+                return em, last, cache, hist, hist_len
+
+            self._spec_chunk = jax.jit(spec_chunk, donate_argnums=(2, 4, 5))
 
     # ------------------------------------------------------------------
     def submit(self, input_ids, *, max_new_tokens: int = 128,
@@ -251,7 +436,10 @@ class ServingEngine:
         return req
 
     def _bucketed(self, ids: np.ndarray) -> np.ndarray:
-        pad = (-len(ids)) % self.prompt_bucket or 0
+        # chunked prefill pads to the window size instead (its only
+        # compiled prompt shape is (1, prefill_chunk))
+        bucket = self.prefill_chunk or self.prompt_bucket
+        pad = (-len(ids)) % bucket or 0
         if pad:
             ids = np.concatenate([ids, np.full(pad, self.pad_id, np.int32)])
         return ids[None]
@@ -265,12 +453,14 @@ class ServingEngine:
             self._queue.appendleft(req)
 
     def _admit(self):
+        staged = []   # (slot, req, plen, device first-token scalar)
         for slot in range(self.num_slots):
             if self.slots[slot] is not None:
                 continue
             while True:
                 req = self._pop_request()
                 if req is None:
+                    self._resolve_admissions(staged)
                     return
                 ids = self._bucketed(req.input_ids)
                 try:
@@ -280,6 +470,7 @@ class ServingEngine:
                     break
                 except MemoryError:
                     self._requeue_front(req)
+                    self._resolve_admissions(staged)
                     return
                 except ValueError as e:
                     # prompt longer than a slot can ever hold: fail just
@@ -289,35 +480,91 @@ class ServingEngine:
                     req.error = str(e)
                     if req.emit:
                         req.emit(-1, True)  # error sentinel (see Request)
-            mask = jnp.asarray(ids != self.pad_id)
-            small = init_kv_cache(
-                self.lm_cfg, 1, max_len=ids.shape[1], layout="paged",
-                page_size=self.page_size, dtype=self._cache_dtype)
-            next_logits, small, length = self._prefill(
-                self.params, jnp.asarray(ids), mask, small)
-            self.cache["layers"], self.cache["lengths"] = self._insert(
-                self.cache["layers"], small["layers"],
-                jnp.asarray(np.asarray(table, np.int32)), slot,
-                self.cache["lengths"], length)
-            self._tables[slot] = 0
-            self._tables[slot, :len(table)] = table
-            self._tables_dirty = True
-            # first token comes straight from the prefill logits
-            tok = int(jnp.argmax(next_logits[0])) if req.temperature <= 1e-4 \
-                else int(jax.random.categorical(
-                    jax.random.fold_in(self._rng, req.req_id),
-                    next_logits[0] / req.temperature))
+            # prompt length is HOST knowledge: never sync it from device
+            plen = min(len(req.input_ids), ids.shape[1])
+            if self.prefill_chunk:
+                # windows of C tokens straight into the slot's pool pages
+                # (multi-token paged path, arbitrary tables): no small
+                # cache, no insert scatter, ONE compiled prompt shape
+                C = self.prefill_chunk
+                self._tables[slot] = 0
+                self._tables[slot, :len(table)] = table
+                self._tables_dirty = True
+                tables_row = jnp.asarray(self._tables[slot:slot + 1])
+                layers = self.cache["layers"]
+                n = ids.shape[1] // C
+                last_row = (plen - 1) - (n - 1) * C
+                rng_req = jax.random.fold_in(self._rng, req.req_id)
+                temp = jnp.float32(req.temperature)
+                for ci in range(n):
+                    layers, tok_dev = self._prefill_window(
+                        self.params,
+                        jnp.asarray(ids[:, ci * C:(ci + 1) * C]),
+                        layers, tables_row, jnp.int32(ci * C),
+                        jnp.int32(last_row if ci == n - 1 else 0),
+                        temp, rng_req)
+                self.cache["layers"] = layers
+                # ragged tail: snap the slot's length back to the REAL
+                # prompt end (garbage rows past plen are never attended
+                # and decode overwrites them in order)
+                self.cache["lengths"] = \
+                    self.cache["lengths"].at[slot].set(plen)
+            else:
+                mask = jnp.asarray(np.arange(ids.shape[1])[None] < plen)
+                small = init_kv_cache(
+                    self.lm_cfg, 1, max_len=ids.shape[1], layout="paged",
+                    page_size=self.page_size, dtype=self._cache_dtype)
+                next_logits, small, length = self._prefill(
+                    self.params, jnp.asarray(ids), mask, small)
+                self.cache["layers"], self.cache["lengths"] = self._insert(
+                    self.cache["layers"], small["layers"],
+                    jnp.asarray(np.asarray(table, np.int32)), slot,
+                    self.cache["lengths"], length)
+                self._tables[slot] = 0
+                self._tables[slot, :len(table)] = table
+                self._tables_dirty = True
+                # first token from the prefill logits, sampled ON DEVICE
+                # — fetched below in one batched transfer for every
+                # admission this call (per-request int() syncs cost
+                # ~45 ms EACH through the tunnel and dominated TTFT
+                # under load)
+                tok_dev = self._first_token(
+                    next_logits, jnp.float32(req.temperature),
+                    jax.random.fold_in(self._rng, req.req_id))
             self.slots[slot] = req
-            self._slot_tokens[slot] = tok
-            self._slot_len[slot] = int(length[0])
+            self._slot_len[slot] = plen
             # update the device token mirror FUNCTIONALLY: under
             # pipelining the host np copy lags the latest dispatch, so
             # rebuilding from it would rewind other slots' tokens
             if self._tokens_dev is None:
                 self._tokens_dev = jnp.asarray(self._slot_tokens)
-            else:
-                self._tokens_dev = self._tokens_dev.at[slot].set(tok)
+            self._tokens_dev = self._tokens_dev.at[slot].set(tok_dev)
+            if self.spec_draft and self._hist_dev is not None:
+                row = np.zeros(self.max_len, np.int32)
+                row[:plen] = req.input_ids[:plen]
+                self._hist_dev = self._hist_dev.at[slot].set(
+                    jnp.asarray(row)).at[slot, plen].set(tok_dev)
+                self._hist_len_dev = self._hist_len_dev.at[slot].set(
+                    plen + 1)
             self._active_np = None
+            staged.append((slot, req, plen, tok_dev))
+        self._resolve_admissions(staged)
+
+    def _resolve_admissions(self, staged):
+        """Fetch every staged first token in ONE device transfer and run
+        the host bookkeeping (token history, emit callbacks, EOS)."""
+        if not staged:
+            return
+        toks = np.asarray(jnp.stack([t for _, _, _, t in staged]))
+        for (slot, req, plen, _), tok in zip(staged, toks):
+            tok = int(tok)
+            self._slot_tokens[slot] = tok
+            if self.spec_draft:
+                row = np.zeros(self.max_len, np.int32)
+                row[:plen] = req.input_ids[:plen]
+                row[plen] = tok
+                self._hist_np[slot] = row
+                self._hist_len_np[slot] = plen + 1
             self._record(slot, tok)
 
     def _record(self, slot: int, token: int):
@@ -326,7 +573,7 @@ class ServingEngine:
         self._slot_len[slot] += 1
         # safety margin: the cache may run ahead of the recorded tokens
         # by up to (1 + pipeline) chunks before the slot frees
-        margin = self.chunk_steps * (1 + self.pipeline) + 1
+        margin = self.tokens_per_chunk * (1 + self.pipeline) + 1
         done = (token == self.eos_id
                 or len(req.generated) >= req.max_new_tokens
                 or self._slot_len[slot] + margin >= self.max_len)
@@ -370,7 +617,7 @@ class ServingEngine:
             if req is None:
                 continue
             need = min(int(self._slot_len[slot])
-                       + self.chunk_steps * (1 + self.pipeline) + 1,
+                       + self.tokens_per_chunk * (1 + self.pipeline) + 1,
                        self.pages_per_slot * self.page_size)
             drained = False
             while True:
@@ -430,6 +677,8 @@ class ServingEngine:
                 if reqs[slot] is None or self.slots[slot] is not reqs[slot]:
                     continue
                 for tok in chunk[slot]:
+                    if tok < 0:
+                        continue  # speculative window hole (not emitted)
                     self._record(slot, tok)
                     if self.slots[slot] is None:
                         break  # finished mid-chunk; rest is void
@@ -467,7 +716,16 @@ class ServingEngine:
             self._rng, sub = jax.random.split(self._rng)
         else:
             sub = self._rng   # all-greedy: the sample branch is discarded
-        if self.chunk_steps == 1:
+        if self.spec_draft:
+            if self._hist_dev is None:
+                self._hist_dev = jnp.asarray(self._hist_np)
+                self._hist_len_dev = jnp.asarray(self._hist_len_np)
+            (chunk_dev, last, self.cache, self._hist_dev,
+             self._hist_len_dev) = self._spec_chunk(
+                self.params, self._tokens_dev, self.cache,
+                self._active_dev, self._hist_dev, self._hist_len_dev,
+                sub, self._temps_dev)
+        elif self.chunk_steps == 1:
             # no-scan path: the chunk scan's carry holds a SECOND copy of
             # the whole paged pool during compile; single-step decode with
             # donated cache avoids it (what lets full-7B serving fit a
@@ -518,6 +776,11 @@ class ServingEngine:
         self._slot_len[:] = 0
         self._tokens_dev = None
         self._active_np = None
+        if self.spec_draft:
+            self._hist_np[:] = 0
+            self._hist_len_np[:] = 0
+            self._hist_dev = None
+            self._hist_len_dev = None
 
     def close(self):
         """Release device buffers. The jitted step closures reference
@@ -533,9 +796,14 @@ class ServingEngine:
                 set_global_mesh(self._prev_mesh)  # restore, don't clobber
         self.cache = None
         self.params = None
-        self._prefill = self._insert = None
+        self._prefill = self._insert = self._first_token = None
         self._decode = self._decode_chunk = None
+        if self.prefill_chunk:
+            self._prefill_window = None
         self._tokens_dev = self._active_dev = self._temps_dev = None
+        if self.spec_draft:
+            self._hist_dev = self._hist_len_dev = None
+            self._spec_chunk = None
         gc.collect()
 
     def run_until_idle(self, max_steps: int = 100000):

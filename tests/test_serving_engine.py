@@ -57,6 +57,45 @@ def test_engine_matches_generator(model_params, chunk_steps):
         assert req.generated == expected, (prompt, req.generated, expected)
 
 
+@pytest.mark.parametrize("C", [8, 16])
+def test_engine_chunked_prefill_matches_generator(model_params, C):
+    """prefill_chunk=C admits prompts in (1, C) windows through the
+    multi-token paged path straight into pool pages (no small cache, no
+    insert scatter, one compiled prompt shape). Token-exact vs the plain
+    Generator, including ragged tails (plen % C != 0) and multi-window
+    prompts (plen > C)."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=8, cache_dtype=jnp.float32,
+                           prefill_chunk=C)
+    prompts = [[5, 17, 33, 41], [7, 9, 11], list(range(3, 3 + C + 5)),
+               list(range(40, 40 + 2 * C))]
+    reqs = [engine.submit(p, max_new_tokens=6) for p in prompts]
+    engine.run_until_idle()
+    for req, prompt in zip(reqs, prompts):
+        assert req.done
+        expected = _reference(model, params, prompt, 6)
+        assert req.generated == expected, (prompt, req.generated, expected)
+
+
+def test_engine_chunked_prefill_with_speculative(model_params):
+    """Chunked prefill composes with engine-integrated speculative
+    decoding (both ride the paged_multi_query forward)."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=8, cache_dtype=jnp.float32,
+                           prefill_chunk=8, spec_draft=2, chunk_steps=2)
+    prompts = [[5, 17, 33, 41, 5, 17, 33], [7, 9, 11, 7, 9, 11, 7, 9, 11]]
+    reqs = [engine.submit(p, max_new_tokens=8) for p in prompts]
+    engine.run_until_idle()
+    for req, prompt in zip(reqs, prompts):
+        assert req.done
+        expected = _reference(model, params, prompt, 8)
+        assert req.generated == expected, (prompt, req.generated, expected)
+
+
 def test_engine_recycles_slots_and_streams(model_params):
     model, params = model_params
     engine = ServingEngine(model, params, num_slots=1, max_len=64,
@@ -248,6 +287,53 @@ def test_engine_tensor_sharded_matches_single(model_params):
     finally:
         engine.close()
     assert get_global_mesh() is None  # close() restores the global mesh
+
+
+def test_engine_tp_int8_matches_single(model_params):
+    """TP x int8 pools compose: the strided scale-lane layout
+    (ops/paged_attention._scale_row) keeps each tensor shard's scale
+    lanes aligned with its value-page head lanes, so int8 caches shard
+    like bf16 ones. Outputs must equal the single-device int8 path."""
+    model, params = model_params
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    from merlin_tpu.core.mesh import MeshConfig, create_mesh
+    from merlin_tpu.core.partitioning import sharding_for_tree
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=1, tensor=2),
+                       devices=jax.devices()[:2])
+    abstract = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.ones((1, 4), jnp.int32))
+    )["params"]
+    logical = nn.get_partition_spec(abstract)
+    shardings = sharding_for_tree(logical, mesh)
+
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.int8,
+                           mesh=mesh, param_shardings=shardings)
+    try:
+        ks = (engine.cache["layers"]["k_scales"]
+              if engine._stacked else engine.cache["layers"][0]["k_scales"])
+        assert not ks.sharding.is_fully_replicated  # scales shard too
+        prompts = [[5, 17, 33, 41], [7, 9, 11]]
+        reqs = [engine.submit(p, max_new_tokens=6) for p in prompts]
+        engine.run_until_idle()
+        for req, prompt in zip(reqs, prompts):
+            gen = Generator(model, GenerateConfig(
+                max_new_tokens=6, eos_id=EOS, pad_id=PAD,
+                kv_layout="paged", cache_dtype=jnp.int8, prompt_bucket=16))
+            out = gen(params, np.asarray([prompt], np.int32))[0].tolist()
+            expected = []
+            for t in out:
+                expected.append(t)
+                if t == EOS:
+                    break
+            while expected and expected[-1] == PAD:
+                expected.pop()
+            assert req.generated == expected, (prompt, req.generated)
+    finally:
+        engine.close()
 
 
 def test_engine_fail_all_recovers(model_params):

@@ -128,3 +128,109 @@ def test_paged_attention_dma_q8_matches_blockspec_q8():
     ref = paged_attention_quantized(q, kq, ks, vq, vs, lengths, tables)
     out = paged_attention_dma_q8(q, kq, ks, vq, vs, lengths, tables)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)
+
+
+def test_multi_token_dma_matches_reference():
+    """Verify-window kernel (paged_attention_dma_multi) vs the XLA
+    reference on arbitrary tables, GQA, ragged lengths."""
+    from merlin_tpu.ops.paged_attention import (
+        paged_attention_dma_multi, paged_attention_multi_reference)
+
+    rng = np.random.default_rng(1)
+    b, s_q, h, hkv, d = 4, 5, 16, 8, 128
+    page_size, total_pages, pages_per_seq = 128, 64, 8
+    q = jnp.asarray(rng.normal(size=(b, s_q, h, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
+                     jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
+                     jnp.float32)
+    lengths = jnp.asarray([100, 512, s_q, 1000], jnp.int32)  # incl window
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+
+    ref = paged_attention_multi_reference(q, kp, vp, lengths, tables)
+    out = paged_attention_dma_multi(q, kp, vp, lengths, tables)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_multi_token_dma_alibi_matches_reference():
+    from merlin_tpu.models.layers import alibi_slopes
+    from merlin_tpu.ops.paged_attention import (
+        paged_attention_dma_multi, paged_attention_multi_reference)
+
+    rng = np.random.default_rng(2)
+    b, s_q, h, hkv, d = 2, 4, 8, 8, 128
+    page_size, total_pages, pages_per_seq = 128, 16, 4
+    q = jnp.asarray(rng.normal(size=(b, s_q, h, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
+                     jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
+                     jnp.float32)
+    lengths = jnp.asarray([77, 300], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+    slopes = alibi_slopes(h)
+
+    ref = paged_attention_multi_reference(q, kp, vp, lengths, tables,
+                                          alibi_slopes=slopes)
+    out = paged_attention_dma_multi(q, kp, vp, lengths, tables,
+                                    alibi_slopes=slopes)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_multi_token_dma_q8_close_to_fp():
+    """int8 multi-token kernel (one-hot scale expansion; covers GQA)."""
+    from merlin_tpu.ops.paged_attention import (
+        paged_attention_dma_multi, paged_attention_dma_multi_q8,
+        quantize_pages)
+
+    rng = np.random.default_rng(3)
+    b, s_q, h, hkv, d = 2, 5, 16, 8, 128
+    page_size, total_pages, pages_per_seq = 128, 16, 4
+    q = jnp.asarray(rng.normal(size=(b, s_q, h, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
+                     jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
+                     jnp.float32)
+    lengths = jnp.asarray([200, 512], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+
+    ref = paged_attention_dma_multi(q, kp, vp, lengths, tables)
+    kq, ks = quantize_pages(kp, d)
+    vq, vs = quantize_pages(vp, d)
+    out = paged_attention_dma_multi_q8(q, kq, ks, vq, vs, lengths, tables)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+
+
+def test_single_token_q8_gqa_via_multi_kernel():
+    """GQA int8 decode (s_q=1) through the multi kernel — the MHA-only
+    DMA q8 kernel could not serve grouped heads (VERDICT r3 weak #5)."""
+    from merlin_tpu.ops.paged_attention import (
+        dequantize_pages, paged_attention_dma_multi_q8,
+        paged_attention_reference, quantize_pages)
+
+    rng = np.random.default_rng(4)
+    b, h, hkv, d = 2, 16, 4, 128
+    page_size, total_pages, pages_per_seq = 128, 16, 4
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
+                     jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(total_pages, page_size, hkv * d)),
+                     jnp.float32)
+    lengths = jnp.asarray([130, 512], jnp.int32)
+    tables = jnp.asarray(
+        rng.permutation(total_pages)[: b * pages_per_seq]
+        .reshape(b, pages_per_seq), jnp.int32)
+    kq, ks = quantize_pages(kp, d)
+    vq, vs = quantize_pages(vp, d)
+    ref = paged_attention_reference(
+        q, dequantize_pages(kq, ks, d, jnp.float32),
+        dequantize_pages(vq, vs, d, jnp.float32), lengths, tables)
+    out = paged_attention_dma_multi_q8(
+        q[:, None], kq, ks, vq, vs, lengths, tables)[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
