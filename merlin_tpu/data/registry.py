@@ -137,42 +137,102 @@ def _seed_defaults() -> None:
             annotations=os.path.join(root, ann), images=os.path.join(root, "images")))
 
     # --- interleave (json) ----------------------------------------------
-    register("interleave_json", "cococaption", InterleaveJsonSpec(
-        annotations=os.path.join(root, "annotations/cococap_interleave_38k.json"),
-        images=os.path.join(root, "COCO")))
+    # Full reference INTERLEAVE_DATA transcription (constants.py:76-143):
+    # caption sets + interleaved-detection sets.
+    for name, images, ann in [
+        ("cococaption", "COCO", "annotations/cococap_interleave_38k.json"),
+        ("nocaps", "NoCaps-4.5k", "annotations/nocaps_interleave_1.5k.json"),
+        ("flickr30k", "Flickr-30k",
+         "annotations/flickr30k_interleave_10k.json"),
+        ("flickr30k_cn", "Flickr-30k",
+         "annotations/flickr30k_cn_interleave_10k.json"),
+        ("textcaps", "TextCaps-25k",
+         "annotations/textcaps_interleave_7k.json"),
+        ("obj365", "Objects365",
+         "annotations/objv2_train_interleave_det345k_correct.json"),
+        ("obj365_cn", "Objects365",
+         "annotations/objv2_train_interleave_det345k_cn_correct.json"),
+        ("openimages", "OpenImages/train",
+         "annotations/openimages_interleave_det348k.json"),
+        ("openimages_cn", "OpenImages/train",
+         "annotations/openimages_interleave_det348k_cn.json"),
+        ("lvis", "COCO", "annotations/lvis_train_interleave_det20k.json"),
+        ("lvis_cn", "COCO",
+         "annotations/lvis_train_interleave_det20k_cn.json"),
+    ]:
+        register("interleave_json", name, InterleaveJsonSpec(
+            annotations=os.path.join(root, ann),
+            images=os.path.join(root, images)))
 
     # --- pair webdata (pretrain) ----------------------------------------
+    # Full reference PAIR_WEBDATA transcription (constants.py:151-300):
+    # every surviving (name, shard set, size, merge_round) entry; shard
+    # roots are $MERLIN_DATA_ROOT-relative mirrors of the reference's
+    # cluster buckets.
     pair_sets = [
+        # Laion 2B series
         ("laion2b_10m", "laion2b-en/*.tar", 10_000_000, 12),
         ("laion2b_10m_6merge", "laion2b-en/*.tar", 10_000_000, 6),
         ("laion2b_20m_6merge", "laion2b-en/*.tar", 20_000_000, 6),
         ("laion2b_5m", "laion2b-en/*.tar", 5_000_000, 12),
+        # TAISU 100M series
         ("taisu_100m", "taisu-tarfiles/*/*.tar", 100_000_000, 12),
         ("taisu_20m_6merge", "taisu-tarfiles/*/*.tar", 20_000_000, 6),
+        # Laion 400M series
         ("laion400m_100m", "laion400m/*.tar", 100_000_000, 12),
+        ("laion400m_70m", "laion400m/*.tar", 70_000_000, 12),
+        ("laion400m_50m", "laion400m/*.tar", 50_000_000, 12),
         ("laion400m_10m", "laion400m/*.tar", 10_000_000, 12),
-        ("laioncn_10m", "laion-cn/*.tar", 10_000_000, 12),
-        ("synthdog_1m", "synthdog/*.tar", 1_000_000, 4),
-        ("grit_10m", "grit/*.tar", 10_000_000, 6),
+        ("laion400m_5m", "laion400m/*.tar", 5_000_000, 12),
+        # Laion chinese 100M series
+        ("laion_cn_100m", "laion-cn/*/*.tar", 100_000_000, 12),
+        ("laion_cn_70m", "laion-cn/*/*.tar", 70_000_000, 12),
+        ("laion_cn_50m", "laion-cn/*/*.tar", 50_000_000, 12),
+        ("laion_cn_10m", "laion-cn/*/*.tar", 10_000_000, 12),
+        ("laion_cn_10m_6merge", "laion-cn/*/*.tar", 10_000_000, 6),
+        ("laion_cn_5m", "laion-cn/*/*.tar", 5_000_000, 12),
+        # Synthdog series (OCR)
+        ("synthdog_224_10m", "synthdog-224-tarfiles/*/*.tar",
+         10_000_000, 12),
+        ("synthdog_10m", "synthdog-tarfiles/*/*.tar", 10_000_000, 12),
+        ("synthdog_2m_6merge", "synthdog-tarfiles/*/*.tar", 2_000_000, 6),
+        # GRIT grounding series
+        ("grit_5m", "grit-5m-tarfiles/*.tar", 5_000_000, 12),
+        ("grit_5m_6merge", "grit-5m-tarfiles/*.tar", 5_000_000, 6),
+        ("grit_2_5m", "grit-5m-tarfiles/*.tar", 2_500_000, 12),
+        # Detection series
+        ("det_224_5m", "detection-224-tarfiles/*/*.tar", 5_000_000, 8),
+        ("det_3m_4merge", "detection-tarfiles/*/*.tar", 3_000_000, 4),
+        ("det_224_3m_en", "detection-224-tarfiles/*-en/*.tar",
+         3_000_000, 8),
+        ("det_3m_en", "detection-tarfiles/*-en/*.tar", 3_000_000, 8),
+        ("det_3m_en_4merge", "detection-tarfiles/*-en/*.tar", 3_000_000, 4),
+        ("det_5m_v1_en_4merge", "det-tarfiles-v1/*.tar", 5_000_000, 4),
+        ("det_1_5m_en", "detection-tarfiles/*-en/*.tar", 1_500_000, 8),
+        # Tracking series (multi-frame)
+        ("track_224_2m", "track-224-tarfiles/*.tar", 2_000_000, 5),
+        ("track_224_1m", "track-224-tarfiles/*.tar", 1_000_000, 5),
+        ("track_2m", "track-tarfiles/*.tar", 2_000_000, 5),
+        ("track_1m", "track-tarfiles/*.tar", 1_000_000, 5),
+        ("track_1m_2merge", "track-tarfiles/*.tar", 1_000_000, 2),
+        ("track_1m_v1_2merge", "track-tarfiles-v1/*.tar", 1_000_000, 2),
+        ("track_1m_v2_2merge", "track-tarfiles-v2/*.tar", 1_000_000, 2),
     ]
     for name, rel, size, mr in pair_sets:
-        register("pair", name, WebdataSpec(
-            path=os.path.join(root, rel), size=size, merge_round=mr))
+        spec = WebdataSpec(
+            path=os.path.join(root, rel), size=size, merge_round=mr)
+        register("pair", name, spec)
+        # det_*/track_* shards are multi-frame: the recipes consume them
+        # through the interpair family flag (pretrain.sh
+        # --interpair_datasets); the spec database is shared, mirroring
+        # the reference's single PAIR_WEBDATA dict.
+        if name.startswith(("det_", "track_")):
+            register("interpair", name, spec)
 
     # --- pre-tokenized pair webdata --------------------------------------
     register("pair_token", "qa_mix_22set", WebdataSpec(
         path=os.path.join(root, "qa-token-tarfiles/*.tar"),
         size=10_000_000, merge_round=6))
-
-    # --- interpair (video/tracking) --------------------------------------
-    for name, rel, size, mr in [
-        ("track_1m_2merge", "track-tarfiles/*.tar", 1_000_000, 2),
-        ("track_1m_v1_2merge", "track-tarfiles-v1/*.tar", 1_000_000, 2),
-        ("track_1m_v2_2merge", "track-tarfiles-v2/*.tar", 1_000_000, 2),
-        ("det_5m_v1_en_4merge", "det-tarfiles-v1-en/*.tar", 5_000_000, 4),
-    ]:
-        register("interpair", name, WebdataSpec(
-            path=os.path.join(root, rel), size=size, merge_round=mr))
 
     # --- interleave webdata (MMC4/OBELICS style) --------------------------
     register("interleave", "oblisc_1m", WebdataSpec(

@@ -95,6 +95,12 @@ def run(bundle, eval_file: str, output_path: str,
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     with open(output_path, "w") as f:
         json.dump(predictions, f, indent=1, ensure_ascii=False)
+    # MMBench submission format: the reference ships an .xlsx
+    # (eval_mmbench.py:173 via openpyxl); written here dependency-free
+    if output_path.endswith(".json"):
+        from merlin_tpu.utils.xlsx import write_records_xlsx
+
+        write_records_xlsx(output_path[:-5] + ".xlsx", predictions)
 
     if not score or "answer" not in rows[0]:
         return {"predictions": output_path}

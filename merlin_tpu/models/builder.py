@@ -222,6 +222,12 @@ def init_or_load_params(bundle: ModelBundle, *, rng: Optional[jax.Array] = None,
                     w = lm_params["lm_head"]["kernel"]
                     lm_params["lm_head"]["kernel"] = resize_embeddings_mean_init(
                         w.T, cfg.lm.vocab_size).T
+                if "lm_head_kernel" in lm_params:
+                    # NormHead (Baichuan2) keeps its head as a bare (H, V)
+                    # kernel; new special-token columns mean-init like rows
+                    w = lm_params["lm_head_kernel"]
+                    lm_params["lm_head_kernel"] = resize_embeddings_mean_init(
+                        w.T, cfg.lm.vocab_size).T
                 params["lm"] = to_lm_tree(lm_params)
             if vision_checkpoint:
                 sd = load_torch_state_dict(vision_checkpoint)

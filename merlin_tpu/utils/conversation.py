@@ -60,12 +60,19 @@ class Conversation:
     def get_prompt(self) -> str:
         messages = self.messages
         # UI path: the first user message may be (text, image, mode); hoist the
-        # <image> token to the front of the text (reference behavior).
+        # <image> token to the front of the text — or, for 'mmtag' template
+        # versions, wrap it as a separate <Image>..</Image> exchange
+        # (reference conversation.py:35-39).
         if messages and isinstance(messages[0][1], tuple):
             messages = [list(m) for m in messages]
             first_role, first_msg = messages[0]
             text = first_msg[0].replace("<image>", "").strip()
-            messages[0] = [first_role, "<image>\n" + text]
+            if "mmtag" in self.version:
+                messages[0] = [first_role, text]
+                messages.insert(0, [self.roles[0], "<Image><image></Image>"])
+                messages.insert(1, [self.roles[1], "Received."])
+            else:
+                messages[0] = [first_role, "<image>\n" + text]
 
         if self.sep_style == SeparatorStyle.SINGLE:
             out = self.system + self.sep
@@ -123,6 +130,81 @@ class Conversation:
 
     def append_message(self, role: str, message) -> None:
         self.messages.append([role, message])
+
+    @staticmethod
+    def _resize_for_ui(image, mode: str):
+        """Reference display sizing (conversation.py:118-143): optional
+        Pad/Resize preprocessing, then bound the short edge to <=400 and
+        the long edge to <=800 preserving aspect."""
+        from PIL import Image
+
+        if mode == "Pad":
+            w, h = image.size
+            if w != h:
+                side = max(w, h)
+                bg = Image.new(image.mode, (side, side), (122, 116, 104))
+                bg.paste(image, ((side - w) // 2 if h > w else 0,
+                                 (side - h) // 2 if w > h else 0))
+                image = bg
+        elif mode == "Resize":
+            image = image.resize((336, 336))
+        elif mode not in ("Crop", "Default"):
+            raise ValueError(f"Invalid image_process_mode: {mode}")
+        max_hw, min_hw = max(image.size), min(image.size)
+        aspect = max_hw / min_hw
+        shortest = int(min(800 / aspect, 400, min_hw))
+        longest = int(shortest * aspect)
+        w, h = image.size
+        size = (shortest, longest) if h > w else (longest, shortest)
+        return image.resize(size)
+
+    def get_images(self, return_pil: bool = False) -> list:
+        """Extract user-turn images ((text, PIL, mode) message tuples) at
+        display size; base64 PNG strings unless ``return_pil``
+        (reference conversation.py:109-155)."""
+        images = []
+        for i, (_, msg) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0 and isinstance(msg, tuple):
+                _, image, mode = msg
+                image = self._resize_for_ui(image, mode)
+                if return_pil:
+                    images.append(image)
+                else:
+                    import base64
+                    from io import BytesIO
+
+                    buf = BytesIO()
+                    image.save(buf, format="PNG")
+                    images.append(base64.b64encode(buf.getvalue()).decode())
+        return images
+
+    def to_chatbot(self) -> list:
+        """[[user_html, assistant_text], ...] pairs for a chat UI; image
+        turns render as an inline base64 <img> followed by their text
+        (reference to_gradio_chatbot, conversation.py:157-189 — the UI
+        tier here is the dependency-free serve/web.py)."""
+        out = []
+        for i, (_, msg) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0:
+                if isinstance(msg, tuple):
+                    import base64
+                    from io import BytesIO
+
+                    text, image, mode = msg
+                    image = self._resize_for_ui(image, mode)
+                    buf = BytesIO()
+                    image.save(buf, format="PNG")
+                    b64 = base64.b64encode(buf.getvalue()).decode()
+                    out.append([f'<img src="data:image/png;base64,{b64}" '
+                                f'alt="user upload image" />', None])
+                    text = text.replace("<image>", "").strip()
+                    if text:
+                        out.append([text, None])
+                else:
+                    out.append([msg, None])
+            elif out:
+                out[-1][-1] = msg
+        return out
 
     def copy(self) -> "Conversation":
         return Conversation(
@@ -215,6 +297,11 @@ conv_plain = Conversation(
     version="plain",
 )
 
+# 'mmtag' version: first image turn renders as a separate
+# <Image><image></Image> exchange (reference conversation.py:35-39).
+conv_vicuna_v1_mmtag = dataclasses.replace(
+    conv_vicuna_v1, messages=[], version="v1_mmtag")
+
 # Reference exposes one global ``conv`` = vicuna v1 (conversation.py:222).
 conv = conv_vicuna_v1
 
@@ -222,6 +309,7 @@ conv_templates = {
     "v0": conv_vicuna_v0,
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
+    "v1_mmtag": conv_vicuna_v1_mmtag,
     "llama_2": conv_llama_2,
     "mpt": conv_mpt,
     "plain": conv_plain,
