@@ -22,14 +22,49 @@ def _params(model, ids):
     return nn.unbox(model.init(jax.random.key(0), ids)["params"])
 
 
+# jit per (config, tag): eager apply dispatches thousands of tiny
+# per-primitive compiles (minutes per case on a 1-CPU runner); one jit
+# per signature makes the whole file compile a handful of programs
+_JIT_CACHE = {}
+
+
+def _jitted(model, tag, make):
+    key = (repr(model.cfg), tag)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = make()
+    return _JIT_CACHE[key]
+
+
 def _prefill(model, params, ids, cache):
-    b, s = ids.shape
-    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
-    seg = jnp.ones((b, s), jnp.int32)
-    logits, cache = model.apply({"params": params}, ids,
-                                segment_ids=seg, positions=positions,
-                                kv_cache=cache)
-    return logits, cache
+    def make():
+        def fn(p, i, c):
+            b, s = i.shape
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+            seg = jnp.ones((b, s), jnp.int32)
+            return model.apply({"params": p}, i, segment_ids=seg,
+                               positions=positions, kv_cache=c)
+        return jax.jit(fn)
+    return _jitted(model, "prefill", make)(params, ids, cache)
+
+
+def _decode_step(model, params, tok, cache):
+    def make():
+        def fn(p, t, c):
+            return model.apply({"params": p}, t,
+                               positions=c["lengths"][:, None], kv_cache=c)
+        return jax.jit(fn)
+    return _jitted(model, "step", make)(params, tok, cache)
+
+
+def _window(model, params, toks, cache):
+    def make():
+        def fn(p, t, c):
+            positions = c["lengths"][:, None] + jnp.arange(t.shape[1])[None]
+            return model.apply({"params": p}, t, positions=positions,
+                               kv_cache=c)
+        return jax.jit(fn)
+    return _jitted(model, f"window{toks.shape[1]}", make)(
+        params, toks, cache)
 
 
 def _shuffle_pages(cache, seed=0):
@@ -78,18 +113,14 @@ def _run_case(cfg, *, scan=False, cache_dtype=jnp.float32, shuffle=True,
     cache = fresh()
     seq_logits = []
     for j in range(window):
-        lens = cache["lengths"]
-        lg, cache = model.apply({"params": p}, nxt[:, j:j + 1],
-                                positions=lens[:, None], kv_cache=cache)
+        lg, cache = _decode_step(model, p, nxt[:, j:j + 1], cache)
         seq_logits.append(lg[:, 0])
     seq_logits = jnp.stack(seq_logits, axis=1)          # (b, window, V)
 
     # one multi-token window
     cache2 = fresh()
     lens = cache2["lengths"]
-    positions = lens[:, None] + jnp.arange(window)[None]
-    win_logits, cache3 = multi.apply({"params": p}, nxt,
-                                     positions=positions, kv_cache=cache2)
+    win_logits, cache3 = _window(multi, p, nxt, cache2)
     np.testing.assert_allclose(np.asarray(win_logits),
                                np.asarray(seq_logits), atol=atol, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(cache3["lengths"]),
@@ -129,11 +160,7 @@ def test_window_identity_tables_equals_shuffled():
     p = _params(model, ids)
     c = init_kv_cache(cfg, b, max_len=32, layout="paged", page_size=8)
     _, c = _prefill(model, p, ids, c)
-    lens = c["lengths"]
-    positions = lens[:, None] + jnp.arange(window)[None]
-    lg_id, _ = multi.apply({"params": p}, nxt, positions=positions,
-                           kv_cache=c)
-    lg_sh, _ = multi.apply({"params": p}, nxt, positions=positions,
-                           kv_cache=_shuffle_pages(c, seed=7))
+    lg_id, _ = _window(multi, p, nxt, c)
+    lg_sh, _ = _window(multi, p, nxt, _shuffle_pages(c, seed=7))
     np.testing.assert_allclose(np.asarray(lg_id), np.asarray(lg_sh),
                                atol=1e-5)
