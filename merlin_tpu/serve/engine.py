@@ -110,6 +110,9 @@ class ServingEngine:
         # Keep C >= 128: 2..64-token forwards hit the XLA
         # weight-relayout cliff at 7B bf16 (CLAUDE.md).
         self.prefill_chunk = int(prefill_chunk)
+        # slot -> in-progress chunked-prefill state (slot occupied but
+        # not yet decoding; windows advance one per step)
+        self._prefilling = {}
         self.chunk_steps = max(int(chunk_steps), 1)
         # worst-case cache/token growth of one jitted chunk
         self.tokens_per_chunk = self.chunk_steps * (
@@ -485,30 +488,28 @@ class ServingEngine:
             if self.prefill_chunk:
                 # windows of C tokens straight into the slot's pool pages
                 # (multi-token paged path, arbitrary tables): no small
-                # cache, no insert scatter, ONE compiled prompt shape
-                C = self.prefill_chunk
-                self._tables[slot] = 0
-                self._tables[slot, :len(table)] = table
-                self._tables_dirty = True
-                tables_row = jnp.asarray(self._tables[slot:slot + 1])
-                layers = self.cache["layers"]
-                n = ids.shape[1] // C
-                last_row = (plen - 1) - (n - 1) * C
-                rng_req = jax.random.fold_in(self._rng, req.req_id)
-                temp = jnp.float32(req.temperature)
-                for ci in range(n):
-                    layers, tok_dev = self._prefill_window(
-                        self.params,
-                        jnp.asarray(ids[:, ci * C:(ci + 1) * C]),
-                        layers, tables_row, jnp.int32(ci * C),
-                        jnp.int32(last_row if ci == n - 1 else 0),
-                        temp, rng_req)
-                self.cache["layers"] = layers
-                # ragged tail: snap the slot's length back to the REAL
-                # prompt end (garbage rows past plen are never attended
-                # and decode overwrites them in order)
-                self.cache["lengths"] = \
-                    self.cache["lengths"].at[slot].set(plen)
+                # cache, no insert scatter, ONE compiled prompt shape.
+                # Windows run INTERLEAVED with decode (one per slot per
+                # engine step, _advance_prefill) so a long prompt's
+                # admission does not stall the running streams.
+                # the GLOBAL tables row stays on the trash page until the
+                # prompt is fully written: concurrent decode chunks still
+                # scatter a (masked-out) token for this slot at its STALE
+                # length, and that write must land in trash, not in the
+                # pages the windows are filling. The windows use their
+                # own private tables row.
+                row = np.zeros(self.pages_per_slot, np.int32)
+                row[:len(table)] = table
+                self.slots[slot] = req
+                self._prefilling[slot] = {
+                    "req": req, "ids": ids, "plen": plen, "done": 0,
+                    "n": ids.shape[1] // self.prefill_chunk,
+                    "row": row, "tables_row": jnp.asarray(row[None]),
+                    "rng": jax.random.fold_in(self._rng, req.req_id),
+                    "temp": jnp.float32(req.temperature),
+                }
+                self._active_np = None
+                continue
             else:
                 mask = jnp.asarray(np.arange(ids.shape[1])[None] < plen)
                 small = init_kv_cache(
@@ -532,22 +533,67 @@ class ServingEngine:
                     next_logits, jnp.float32(req.temperature),
                     jax.random.fold_in(self._rng, req.req_id))
             self.slots[slot] = req
-            self._slot_len[slot] = plen
-            # update the device token mirror FUNCTIONALLY: under
-            # pipelining the host np copy lags the latest dispatch, so
-            # rebuilding from it would rewind other slots' tokens
-            if self._tokens_dev is None:
-                self._tokens_dev = jnp.asarray(self._slot_tokens)
-            self._tokens_dev = self._tokens_dev.at[slot].set(tok_dev)
-            if self.spec_draft and self._hist_dev is not None:
-                row = np.zeros(self.max_len, np.int32)
-                row[:plen] = req.input_ids[:plen]
-                self._hist_dev = self._hist_dev.at[slot].set(
-                    jnp.asarray(row)).at[slot, plen].set(tok_dev)
-                self._hist_len_dev = self._hist_len_dev.at[slot].set(
-                    plen + 1)
-            self._active_np = None
-            staged.append((slot, req, plen, tok_dev))
+            self._finish_admission(slot, req, plen, tok_dev, staged)
+        self._resolve_admissions(staged)
+
+    def _finish_admission(self, slot, req, plen, tok_dev, staged):
+        """Device-side bookkeeping once a slot's prefill produced its
+        first token; the host fetch happens in _resolve_admissions."""
+        self._slot_len[slot] = plen
+        # update the device token mirror FUNCTIONALLY: under pipelining
+        # the host np copy lags the latest dispatch, so rebuilding from
+        # it would rewind other slots' tokens
+        if self._tokens_dev is None:
+            self._tokens_dev = jnp.asarray(self._slot_tokens)
+        self._tokens_dev = self._tokens_dev.at[slot].set(tok_dev)
+        if self.spec_draft and self._hist_dev is not None:
+            row = np.zeros(self.max_len, np.int32)
+            row[:plen] = req.input_ids[:plen]
+            self._hist_dev = self._hist_dev.at[slot].set(
+                jnp.asarray(row)).at[slot, plen].set(tok_dev)
+            self._hist_len_dev = self._hist_len_dev.at[slot].set(plen + 1)
+        self._active_np = None
+        staged.append((slot, req, plen, tok_dev))
+
+    def _advance_prefill(self):
+        """Run ONE pending prefill window per prefilling slot (chunked
+        prefill interleaves with decode: running streams take at most a
+        one-window hit per step while a long prompt admits). With no
+        active decode slots there is nothing to interleave with, so loop
+        until at least one admission completes."""
+        if not self._prefilling:
+            return
+        staged = []
+        while True:
+            for slot in list(self._prefilling):
+                st = self._prefilling[slot]
+                ci, C = st["done"], self.prefill_chunk
+                last_row = (st["plen"] - 1) - (st["n"] - 1) * C
+                layers, tok_dev = self._prefill_window(
+                    self.params,
+                    jnp.asarray(st["ids"][:, ci * C:(ci + 1) * C]),
+                    self.cache["layers"], st["tables_row"],
+                    jnp.int32(ci * C),
+                    jnp.int32(last_row if ci == st["n"] - 1 else 0),
+                    st["temp"], st["rng"])
+                self.cache["layers"] = layers
+                st["done"] = ci + 1
+                if st["done"] == st["n"]:
+                    # ragged tail: snap the slot's length to the REAL
+                    # prompt end (garbage rows past plen are never
+                    # attended; decode overwrites them in order), and
+                    # only now reveal the real tables row globally
+                    self.cache["lengths"] = \
+                        self.cache["lengths"].at[slot].set(st["plen"])
+                    self._tables[slot] = st["row"]
+                    self._tables_dirty = True
+                    del self._prefilling[slot]
+                    self._finish_admission(slot, st["req"], st["plen"],
+                                           tok_dev, staged)
+            active = any(r is not None and s not in self._prefilling
+                         for s, r in enumerate(self.slots))
+            if active or not self._prefilling:
+                break
         self._resolve_admissions(staged)
 
     def _resolve_admissions(self, staged):
@@ -601,6 +647,9 @@ class ServingEngine:
         self.slots[slot] = None
         self._tables[slot] = 0
         self._tables_dirty = True
+        # a mid-prefill victim just drops its progress; re-admission
+        # rewrites every page from the (unchanged) prompt
+        self._prefilling.pop(slot, None)
         fresh = req.generated[req.baked_generated:]
         req.input_ids = np.concatenate(
             [req.input_ids, np.asarray(fresh, np.int32)])
@@ -614,8 +663,8 @@ class ServingEngine:
         only when a row changed (a host->device upload through a remote
         tunnel costs milliseconds — most chunks grow nothing)."""
         for slot, req in enumerate(self.slots):
-            if req is None:
-                continue
+            if req is None or slot in self._prefilling:
+                continue  # prefilling slots pre-allocated their prompt
             need = min(int(self._slot_len[slot])
                        + self.tokens_per_chunk * (1 + self.pipeline) + 1,
                        self.pages_per_slot * self.page_size)
@@ -689,6 +738,7 @@ class ServingEngine:
         chunks behind the dispatch (latency hiding — see __init__).
         Returns the number of active slots processed."""
         self._admit()
+        self._advance_prefill()
         if not any(r is not None for r in self.slots):
             self._drain(force=True)
             return 0
@@ -696,7 +746,8 @@ class ServingEngine:
         # and a preempted slot must not be decoded or recorded this chunk
         self._grow_pages()
         active_mask = np.asarray(
-            [r is not None for r in self.slots], bool)
+            [r is not None and s not in self._prefilling
+             for s, r in enumerate(self.slots)], bool)
         if not active_mask.any():
             return 0
         temps = np.asarray(
@@ -740,7 +791,11 @@ class ServingEngine:
                 self.params, self._tokens_dev,
                 self.cache, self._active_dev, sub, self._temps_dev)
         self._tokens_dev = last
-        self._inflight.append((chunk_dev, list(self.slots)))
+        # a prefilling slot is occupied but NOT in this chunk: its rows
+        # are pad and must never be recorded against the new occupant
+        self._inflight.append((chunk_dev, [
+            None if s in self._prefilling else r
+            for s, r in enumerate(self.slots)]))
         self._drain()
         return int(active_mask.sum())
 
@@ -770,6 +825,7 @@ class ServingEngine:
                 self.pool.release(req.req_id)
                 self.slots[slot] = None
         self._inflight.clear()
+        self._prefilling.clear()
         self._tables[:] = 0
         self._tables_dirty = True
         self._slot_tokens[:] = 0
@@ -800,6 +856,7 @@ class ServingEngine:
         self._decode = self._decode_chunk = None
         if self.prefill_chunk:
             self._prefill_window = None
+            self._prefilling.clear()
         self._tokens_dev = self._active_dev = self._temps_dev = None
         if self.spec_draft:
             self._hist_dev = self._hist_len_dev = None

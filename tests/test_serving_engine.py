@@ -79,6 +79,32 @@ def test_engine_chunked_prefill_matches_generator(model_params, C):
         assert req.generated == expected, (prompt, req.generated, expected)
 
 
+def test_engine_chunked_prefill_interleaves_with_decode(model_params):
+    """A long prompt admits window-by-window WHILE another slot decodes;
+    decode steps during the admission scatter their masked token into
+    the trash page (the slot's global tables row stays 0 until the
+    prompt is fully written) and both outputs stay token-exact."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=96,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=8, cache_dtype=jnp.float32,
+                           prefill_chunk=8, chunk_steps=1)
+    r1 = engine.submit([5, 17, 33, 41], max_new_tokens=12)
+    engine.step()
+    engine.step()  # r1 decoding
+    long_prompt = list(range(7, 7 + 37))  # 5 windows of 8
+    r2 = engine.submit(long_prompt, max_new_tokens=6)
+    # r2's admission spreads across steps; r1 keeps decoding each step
+    mid_prefill = False
+    for _ in range(4):
+        engine.step()
+        mid_prefill = mid_prefill or bool(engine._prefilling)
+    engine.run_until_idle()
+    assert mid_prefill  # the interleaved path actually engaged
+    assert r1.generated == _reference(model, params, [5, 17, 33, 41], 12)
+    assert r2.generated == _reference(model, params, long_prompt, 6)
+
+
 def test_engine_chunked_prefill_with_speculative(model_params):
     """Chunked prefill composes with engine-integrated speculative
     decoding (both ride the paged_multi_query forward)."""
@@ -94,6 +120,42 @@ def test_engine_chunked_prefill_with_speculative(model_params):
         assert req.done
         expected = _reference(model, params, prompt, 8)
         assert req.generated == expected, (prompt, req.generated, expected)
+
+
+def test_engine_tp_chunked_prefill_matches_single(model_params):
+    """TP x chunked prefill compose: the (1, C) prefill windows ride the
+    same shard_map'd paged_multi_query step as decode (decoder.py
+    multi_query shard_map gate), so a tensor-sharded pool admits prompts
+    window-by-window with outputs equal to the unsharded path."""
+    model, params = model_params
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    from merlin_tpu.core.mesh import MeshConfig, create_mesh
+    from merlin_tpu.core.partitioning import sharding_for_tree
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=1, tensor=2),
+                       devices=jax.devices()[:2])
+    abstract = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.ones((1, 4), jnp.int32))
+    )["params"]
+    logical = nn.get_partition_spec(abstract)
+    shardings = sharding_for_tree(logical, mesh)
+
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=8, cache_dtype=jnp.float32,
+                           prefill_chunk=8, mesh=mesh,
+                           param_shardings=shardings)
+    try:
+        prompts = [[5, 17, 33, 41], list(range(3, 3 + 13)),
+                   list(range(40, 40 + 16))]
+        reqs = [engine.submit(p, max_new_tokens=6) for p in prompts]
+        engine.run_until_idle()
+        for req, prompt in zip(reqs, prompts):
+            assert req.generated == _reference(model, params, prompt, 6), \
+                (prompt, req.generated)
+    finally:
+        engine.close()
 
 
 def test_engine_recycles_slots_and_streams(model_params):
