@@ -489,6 +489,22 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
                         page_size=128, chunk_steps=1, pipeline=8,
                         cache_dtype=cache_dtype, spec_draft=spec_draft,
                         prefill_chunk=prefill_chunk)
+    try:
+        return _drive_serving_workload(eng, num_slots)
+    finally:
+        # release the 13.5G of params + KV pool even on FAILURE: the jitted
+        # step closures hold `eng` in a reference cycle, and an un-closed
+        # engine leaked by one row OOMs every later bench section (the r4
+        # serving_int8w -> serving_spec/chunked/vit_retime cascade)
+        eng.step = None
+        eng.close()
+        del eng, params, model
+        import gc
+
+        gc.collect()
+
+
+def _drive_serving_workload(eng, num_slots):
     preempts = []
     orig_preempt = eng._preempt_youngest
     eng._preempt_youngest = lambda exclude: (preempts.append(exclude),
@@ -567,14 +583,6 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
     decode_recorded = (sum(len(r.generated) for r in steady) + tokens
                        + press_tokens - admissions)
     wasted = dispatched[0] - decode_recorded
-    # release the 13.5G of params + KV pool NOW: the jitted step closures
-    # hold `eng` in a reference cycle, so without close() the buffers stay
-    # resident into the next section and the int8 run OOMs the 16G chip
-    eng.step = None
-    eng.close()
-    del eng, params, model
-    import gc
-    gc.collect()
     return {
         "tokens_per_sec": tokens / dt,
         "steady_tokens_per_sec": steady_tps,

@@ -103,6 +103,30 @@ _Q8_KERNELS = {"q_proj": 1, "k_proj": 1, "v_proj": 1, "o_proj": 2,
                "fc1": 1, "fc2": 1, "lm_head": 1}
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _quantize_jax_fn(n_contract: int, stacked: bool):
+    import jax
+    import jax.numpy as jnp
+
+    def one(k):
+        k = k.astype(jnp.float32)
+        axes = tuple(range(n_contract))
+        s = jnp.max(jnp.abs(k), axis=axes, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        q = jnp.clip(jnp.rint(k / s), -127, 127).astype(jnp.int8)
+        return q, jnp.squeeze(s, axis=axes).astype(jnp.float32)
+
+    return jax.jit((lambda k: jax.lax.map(one, k)) if stacked else one)
+
+
+def _quantize_jax(kernel, n_contract: int, stacked: bool):
+    """On-device per-out-channel absmax int8 quantization, O(slice) temps."""
+    return _quantize_jax_fn(n_contract, stacked)(kernel)
+
+
 def quantize_decoder_params_int8(params: Dict[str, Any],
                                  donate: bool = False) -> Dict[str, Any]:
     """Trained f32 decoder tree -> the ``weight_dtype='int8'`` tree.
@@ -123,19 +147,22 @@ def quantize_decoder_params_int8(params: Dict[str, Any],
 
     def quantize(kernel, n_contract: int, stacked: bool):
         # device arrays quantize on-device (a 7B tree would otherwise
-        # round-trip ~27 GB of f32 through the host)
+        # round-trip ~27 GB of f32 through the host), jitted so the f32
+        # temp never materializes whole: for scan_layers trees the stacked
+        # MLP kernel is (32, 4096, 11008) and an eager .astype(f32) is a
+        # 5.8 GB buffer on top of the 13.5 GB resident source tree — the
+        # r4 serving_int8w OOM. lax.map over the layer axis keeps the
+        # temp at one layer slice (~180 MB).
         if isinstance(kernel, jax.Array):
-            import jax.numpy as xp
-        else:
-            xp = np
-            kernel = np.asarray(kernel)
-        k = kernel.astype(xp.float32)
+            return _quantize_jax(kernel, n_contract, stacked)
+        kernel = np.asarray(kernel)
+        k = kernel.astype(np.float32)
         axes = tuple(range(1, 1 + n_contract) if stacked
                      else range(n_contract))
-        s = xp.max(xp.abs(k), axis=axes, keepdims=True) / 127.0
-        s = xp.maximum(s, 1e-12)
-        q = xp.clip(xp.rint(k / s), -127, 127).astype(xp.int8)
-        return q, xp.squeeze(s, axis=axes).astype(xp.float32)
+        s = np.max(np.abs(k), axis=axes, keepdims=True) / 127.0
+        s = np.maximum(s, 1e-12)
+        q = np.clip(np.rint(k / s), -127, 127).astype(np.int8)
+        return q, np.squeeze(s, axis=axes).astype(np.float32)
 
     def walk(node, name: str, stacked: bool):
         if isinstance(node, dict):
