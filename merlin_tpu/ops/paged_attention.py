@@ -576,6 +576,14 @@ def paged_attention_dma_multi(
     page_bytes = page_size * packed * k_pages.dtype.itemsize
     # qbd + acc scratch eat VMEM as s_q grows; shrink the page blocks
     fixed = R * packed * (2 + 4) + R * packed * 4   # qbd+out bf16, acc f32
+    # big windows (chunked prefill, s_q ~ 128) blow the BD packing's VMEM
+    # (qbd + acc are R x packed: 96 MB at 7B MHA, the r4 serving_chunked
+    # compile OOM) AND pay hkv x QK^T overcompute — route them to the
+    # per-kv-head blocked kernel, which is flop-optimal and O(s_q*d) VMEM
+    if fixed > _DMA_VMEM_BUDGET // 2 and (group * s_q) % 8 == 0:
+        return paged_attention_multi_blocked(
+            q, k_pages, v_pages, lengths, page_tables,
+            alibi_slopes=alibi_slopes, scale=scale)
     cap = max(1, (_DMA_VMEM_BUDGET - min(fixed, _DMA_VMEM_BUDGET // 2))
               // (4 * page_bytes))
     pages_per_block = cap if pages_per_block is None else min(
@@ -632,6 +640,294 @@ def paged_attention_dma_multi(
     )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
       qbd, slope_rows, k_pages, v_pages)
     return _unpack_o_multi(out, s_q, h, group)
+
+
+def _paged_multi_blocked_kernel(
+    lengths_ref, page_tables_ref, slopes_ref,   # scalar prefetch (SMEM)
+    q_ref, k_page_ref, v_page_ref,              # VMEM blocks
+    out_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, page_size: int, group: int, s_q: int,
+    use_alibi: bool,
+):
+    b = pl.program_id(0)
+    hk = pl.program_id(1)
+    pi = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    length = lengths_ref[b]                      # INCLUDING the window
+
+    @pl.when(pi == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(pi * page_size < length)
+    def _compute():
+        q = q_ref[0, 0]                          # (group*s_q, d)
+        k = k_page_ref[0]                        # (page, d) lane-block hk
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (g*s_q, page)
+
+        k_pos = pi * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        # row r = g*s_q + t holds query-head hk*group+g at window slot t;
+        # its true position is length - s_q + t. Rows fully masked in a
+        # page are safe: page 0 always has k_pos=0 <= q_pos (length>=s_q),
+        # so m is finite before any all-masked page contributes.
+        row_t = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), s_q)
+        q_pos = length - s_q + row_t
+        if use_alibi:
+            # per-row slope via 2-D selects (1-D stack/repeat don't lower)
+            g_of_row = jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0) // s_q
+            slope = jnp.zeros_like(s)
+            for g in range(group):
+                slope = jnp.where(g_of_row == g,
+                                  slopes_ref[hk * group + g], slope)
+            s = s + slope * (k_pos - q_pos).astype(jnp.float32)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_page_ref.dtype), v_page_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(pi == n_pages - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_scr[:] / l).astype(out_ref.dtype)
+
+
+def paged_attention_multi_blocked(
+    q: jax.Array,            # (b, s_q, h, d) window queries per sequence
+    k_pages: jax.Array, v_pages: jax.Array,
+    lengths: jax.Array,      # (b,) INCLUDING the s_q window tokens
+    page_tables: jax.Array, *,
+    alibi_slopes: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Multi-token paged attention for LARGE windows (chunked prefill).
+
+    Same contract as :func:`paged_attention_dma_multi` (window K/V already
+    in the pages; query t attends causally to positions <= lengths-s_q+t)
+    but shaped like the decode BlockSpec kernel: grid (b, hkv, pages), a
+    per-kv-head (group*s_q, d) query block, and (page, d) lane-sliced K/V
+    page fetches managed by the pipeline. Unlike the block-diagonal DMA
+    kernel it does flop-optimal per-head QK^T (no hkv x overcompute) and
+    its VMEM footprint is O(group*s_q*(d + page)) — (group*s_q) must be a
+    multiple of 8 sublanes. Returns (b, s_q, h, d)."""
+    b, s_q, h, d = q.shape
+    total_pages, page_size, packed = k_pages.shape
+    hkv = packed // d
+    assert h % hkv == 0
+    group = h // hkv
+    gs = group * s_q
+    assert gs % 8 == 0, f"group*s_q={gs} must be a multiple of 8 sublanes"
+    pages_per_seq = page_tables.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    use_alibi = alibi_slopes is not None
+    if alibi_slopes is None:
+        alibi_slopes = jnp.zeros((h,), jnp.float32)
+
+    # (b, s_q, h, d) -> (b, hkv, group*s_q, d), row = g*s_q + t
+    qg = (q.transpose(0, 2, 1, 3)
+           .reshape(b, hkv, group, s_q, d)
+           .reshape(b, hkv, gs, d))
+
+    grid = (b, hkv, pages_per_seq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, gs, d),
+                         lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, page_size, d),
+                         lambda b_, h_, p_, lens, tables, sl:
+                         (tables[b_, p_], 0, h_)),
+            pl.BlockSpec((1, page_size, d),
+                         lambda b_, h_, p_, lens, tables, sl:
+                         (tables[b_, p_], 0, h_)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, gs, d),
+            lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gs, _LANES), jnp.float32),
+            pltpu.VMEM((gs, _LANES), jnp.float32),
+            pltpu.VMEM((gs, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_multi_blocked_kernel, scale=scale, page_size=page_size,
+            group=group, s_q=s_q, use_alibi=use_alibi),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gs, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      alibi_slopes.astype(jnp.float32), qg, k_pages, v_pages)
+    return (out.reshape(b, hkv, group, s_q, d)
+               .transpose(0, 3, 1, 2, 4)
+               .reshape(b, s_q, h, d))
+
+
+def _paged_multi_blocked_q8_kernel(
+    lengths_ref, page_tables_ref, slopes_ref,
+    q_ref, k_page_ref, ks_page_ref, v_page_ref, vs_page_ref,
+    out_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, page_size: int, group: int, s_q: int,
+    stride: int, use_alibi: bool,
+):
+    b = pl.program_id(0)
+    hk = pl.program_id(1)
+    pi = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    length = lengths_ref[b]
+
+    @pl.when(pi == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(pi * page_size < length)
+    def _compute():
+        q = q_ref[0, 0]                          # (group*s_q, d)
+        # head hk's per-token scale sits at lane hk*stride of the scale
+        # page; extract it with a lane-mask reduction (single-lane
+        # dynamic slices don't tile)
+        ks = ks_page_ref[0]                      # (page, S) f32
+        lane = jax.lax.broadcasted_iota(jnp.int32, ks.shape, 1)
+        col = hk * stride
+        k_scale = jnp.sum(jnp.where(lane == col, ks, 0.0), axis=1,
+                          keepdims=True)         # (page, 1)
+        v_scale = jnp.sum(jnp.where(lane == col, vs_page_ref[0], 0.0),
+                          axis=1, keepdims=True)
+        k = (k_page_ref[0].astype(jnp.float32) * k_scale
+             ).astype(q.dtype)                   # (page, d)
+        v = (v_page_ref[0].astype(jnp.float32) * v_scale
+             ).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        k_pos = pi * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        row_t = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), s_q)
+        q_pos = length - s_q + row_t
+        if use_alibi:
+            g_of_row = jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0) // s_q
+            slope = jnp.zeros_like(s)
+            for g in range(group):
+                slope = jnp.where(g_of_row == g,
+                                  slopes_ref[hk * group + g], slope)
+            s = s + slope * (k_pos - q_pos).astype(jnp.float32)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(pi == n_pages - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_scr[:] / l).astype(out_ref.dtype)
+
+
+def paged_attention_multi_blocked_q8(
+    q: jax.Array,            # (b, s_q, h, d)
+    k_values: jax.Array, k_scales: jax.Array,
+    v_values: jax.Array, v_scales: jax.Array,
+    lengths: jax.Array, page_tables: jax.Array, *,
+    alibi_slopes: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """:func:`paged_attention_multi_blocked` over int8 pages: values
+    dequantize per (page, kv-head) inside the kernel (strided scale-page
+    layout, see :func:`_scale_row`). Serves chunked prefill against int8
+    pools, where the BD q8 kernel's R x packed VMEM blocks don't fit."""
+    b, s_q, h, d = q.shape
+    total_pages, page_size, packed = k_values.shape
+    hkv = packed // d
+    assert h % hkv == 0
+    group = h // hkv
+    gs = group * s_q
+    assert gs % 8 == 0, f"group*s_q={gs} must be a multiple of 8 sublanes"
+    S = k_scales.shape[-1]
+    stride = max(S // hkv, 1)
+    pages_per_seq = page_tables.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    use_alibi = alibi_slopes is not None
+    if alibi_slopes is None:
+        alibi_slopes = jnp.zeros((h,), jnp.float32)
+
+    qg = (q.transpose(0, 2, 1, 3)
+           .reshape(b, hkv, group, s_q, d)
+           .reshape(b, hkv, gs, d))
+
+    grid = (b, hkv, pages_per_seq)
+    page_map = lambda b_, h_, p_, lens, tables, sl: (tables[b_, p_], 0, h_)
+    scale_map = lambda b_, h_, p_, lens, tables, sl: (tables[b_, p_], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, gs, d),
+                         lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, page_size, d), page_map),
+            pl.BlockSpec((1, page_size, S), scale_map),
+            pl.BlockSpec((1, page_size, d), page_map),
+            pl.BlockSpec((1, page_size, S), scale_map),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, gs, d),
+            lambda b_, h_, p_, lens, tables, sl: (b_, h_, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gs, _LANES), jnp.float32),
+            pltpu.VMEM((gs, _LANES), jnp.float32),
+            pltpu.VMEM((gs, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_multi_blocked_q8_kernel, scale=scale,
+            page_size=page_size, group=group, s_q=s_q, stride=stride,
+            use_alibi=use_alibi),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gs, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
+      alibi_slopes.astype(jnp.float32), qg,
+      k_values, k_scales, v_values, v_scales)
+    return (out.reshape(b, hkv, group, s_q, d)
+               .transpose(0, 3, 1, 2, 4)
+               .reshape(b, s_q, h, d))
 
 
 def paged_attention_multi_reference(q, k_pages, v_pages, lengths,
@@ -814,6 +1110,13 @@ def paged_attention_dma_multi_q8(
     pages_per_seq = page_tables.shape[1]
     page_bytes = page_size * (packed + 2 * S * 4)  # int8 + f32 scales
     fixed = R * packed * (2 + 4) + R * packed * 4
+    # large windows (chunked prefill) route to the per-kv-head blocked
+    # kernel — same VMEM wall as the bf16 BD kernel (see
+    # paged_attention_dma_multi)
+    if fixed > _DMA_VMEM_BUDGET // 2 and (group * s_q) % 8 == 0:
+        return paged_attention_multi_blocked_q8(
+            q, k_values, k_scales, v_values, v_scales, lengths,
+            page_tables, alibi_slopes=alibi_slopes, scale=scale)
     cap = max(1, (_DMA_VMEM_BUDGET - min(fixed, _DMA_VMEM_BUDGET // 2))
               // (4 * page_bytes))
     pages_per_block = cap if pages_per_block is None else min(
