@@ -755,7 +755,9 @@ def main():
             vicuna7b_serving_int8w_tokens_per_sec_8slots=round(
                 r["tokens_per_sec"], 1),
             serving_int8w_p50_inter_token_ms=round(
-                r["p50_inter_token_ms"], 1)))(
+                r["p50_inter_token_ms"], 1),
+            serving_int8w_p50_ttft_under_load_ms=round(
+                r["p50_ttft_under_load_ms"], 1)))(
             bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                              weight_q8=True))),
         # engine-integrated speculative decoding: int8 weights + int8 KV
@@ -769,7 +771,9 @@ def main():
                 r["steady_tokens_per_sec"], 1),
             serving_spec_tokens_per_forward=r["decode_tokens_per_forward"],
             serving_spec_p50_inter_token_ms=round(
-                r["p50_inter_token_ms"], 1)))(
+                r["p50_inter_token_ms"], 1),
+            serving_spec_p50_ttft_under_load_ms=round(
+                r["p50_ttft_under_load_ms"], 1)))(
             bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                              weight_q8=True, spec_draft=4))),
         # chunked prefill (prefill_chunk=128): prompts admit in (1, 128)
@@ -784,6 +788,21 @@ def main():
             serving_chunked_p50_inter_token_ms=round(
                 r["p50_inter_token_ms"], 1)))(
             bench_serving_7b(prefill_chunk=128))),
+        # EVERYTHING on: int8 weights + int8 KV + 8 slots + speculative
+        # verify windows + chunked prefill (the q8 blocked kernel serves
+        # the (1, 128) prompt windows against the int8 pool)
+        ("serving_full", lambda: (lambda r: details.update(
+            vicuna7b_serving_full_tokens_per_sec_8slots=round(
+                r["tokens_per_sec"], 1),
+            serving_full_p50_ttft_under_load_ms=round(
+                r["p50_ttft_under_load_ms"], 1),
+            serving_full_p50_inter_token_ms=round(
+                r["p50_inter_token_ms"], 1),
+            serving_full_tokens_per_forward=r["decode_tokens_per_forward"]
+            ))(
+            bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
+                             weight_q8=True, spec_draft=4,
+                             prefill_chunk=128))),
         # re-time ViT at the end of the run (keep the best window seen)
         ("vit_retime",
          lambda: update_vit(bench_vit_encode(windows=4, gap_s=20.0))),

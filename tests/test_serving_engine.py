@@ -424,3 +424,38 @@ def test_engine_fail_all_recovers(model_params):
     engine.run_until_idle()
     assert r3.done and not r3.error
     assert r3.generated == _reference(model, params, [5, 17, 33, 41], 6)
+
+
+def test_engine_int8_chunked_spec_composes(model_params):
+    """The serving_full configuration: int8 KV pool + chunked prefill +
+    speculative verify windows all composed. int8 pages round the KV, so
+    compare against an int8-cache Generator (token-exact at equal
+    quantization) rather than the f32 reference."""
+    model, params = model_params
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=8, cache_dtype=jnp.int8,
+                           prefill_chunk=8, spec_draft=2, chunk_steps=2)
+    prompts = [[5, 17, 33, 41, 5, 17, 33], [7, 9, 11, 7, 9, 11, 7, 9, 11],
+               list(range(3, 3 + 21))]
+    reqs = [engine.submit(p, max_new_tokens=8) for p in prompts]
+    engine.run_until_idle()
+
+    def reference_q8(prompt):
+        gen = Generator(model, GenerateConfig(
+            max_new_tokens=8, eos_id=EOS, pad_id=PAD,
+            kv_layout="paged", cache_dtype=jnp.int8, prompt_bucket=16))
+        out = gen(params, np.asarray([prompt], np.int32))[0].tolist()
+        trimmed = []
+        for t in out:
+            trimmed.append(t)
+            if t == EOS:
+                break
+        while trimmed and trimmed[-1] == PAD:
+            trimmed.pop()
+        return trimmed
+
+    for req, prompt in zip(reqs, prompts):
+        assert req.done
+        expected = reference_q8(prompt)
+        assert req.generated == expected, (prompt, req.generated, expected)

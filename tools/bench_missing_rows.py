@@ -41,7 +41,9 @@ def main():
             vicuna7b_serving_int8w_tokens_per_sec_8slots=round(
                 r["tokens_per_sec"], 1),
             serving_int8w_p50_inter_token_ms=round(
-                r["p50_inter_token_ms"], 1)))(
+                r["p50_inter_token_ms"], 1),
+            serving_int8w_p50_ttft_under_load_ms=round(
+                r["p50_ttft_under_load_ms"], 1)))(
             bench.bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                                    weight_q8=True))),
         ("serving_spec", lambda: (lambda r: details.update(
@@ -51,9 +53,23 @@ def main():
                 r["steady_tokens_per_sec"], 1),
             serving_spec_tokens_per_forward=r["decode_tokens_per_forward"],
             serving_spec_p50_inter_token_ms=round(
-                r["p50_inter_token_ms"], 1)))(
+                r["p50_inter_token_ms"], 1),
+            serving_spec_p50_ttft_under_load_ms=round(
+                r["p50_ttft_under_load_ms"], 1)))(
             bench.bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                                    weight_q8=True, spec_draft=4))),
+        ("serving_full", lambda: (lambda r: details.update(
+            vicuna7b_serving_full_tokens_per_sec_8slots=round(
+                r["tokens_per_sec"], 1),
+            serving_full_p50_ttft_under_load_ms=round(
+                r["p50_ttft_under_load_ms"], 1),
+            serving_full_p50_inter_token_ms=round(
+                r["p50_inter_token_ms"], 1),
+            serving_full_tokens_per_forward=r["decode_tokens_per_forward"]
+            ))(
+            bench.bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
+                                   weight_q8=True, spec_draft=4,
+                                   prefill_chunk=128))),
         ("serving_chunked", lambda: (lambda r: details.update(
             serving_chunked_tokens_per_sec=round(r["tokens_per_sec"], 1),
             serving_chunked_p50_ttft_under_load_ms=round(
