@@ -301,7 +301,8 @@ def bench_speculative(draft_len: int = 4, T: int = 64,
     return t_plain / t_spec, float((int(g[0]) - 1) / max(nw, 1))
 
 
-def bench_train_multimodal(remat: bool = True, batch: int = 4):
+def bench_train_multimodal(remat: bool = True, batch: int = 4,
+                           freeze_tower: bool = False):
     """FULL multimodal training step on the chip (SURVEY §3.1 hot path):
     uint8 images -> fused normalize -> ViT-L/14-448 -> conv projector ->
     splice -> decoder fwd/bwd -> AdamW + LLRD. Model sized to fit
@@ -309,6 +310,13 @@ def bench_train_multimodal(remat: bool = True, batch: int = 4):
     Vicuna-width-scaled-down decoder). bs4 x 2048 with remat measured
     fastest per token (bs8: 0.473 MFU, no-remat: 0.483 — remat's recompute
     overlaps and the smaller batch keeps activations resident).
+
+    ``freeze_tower=True`` is the REFERENCE configuration: pretrain.sh and
+    sft.sh both freeze the vision tower (requires_grad=False — torch
+    never computes the frozen backward), so the apples-to-apples
+    multimodal step stops gradients at the tower (stop_frozen_params);
+    the r4 attribution probe measured the tower's dead backward at 57 ms
+    of a 217 ms step. MFU then counts tower FORWARD FLOPs only.
     Returns (tokens/s, mfu)."""
     import dataclasses
     from merlin_tpu.models.decoder import DecoderConfig
@@ -352,9 +360,13 @@ def bench_train_multimodal(remat: bool = True, batch: int = 4):
 
     targs = TrainingArguments(learning_rate=1e-4, warmup_ratio=0.0,
                               num_train_steps=100, llrd=True, llm_llrd=True)
+    trainable = ((lambda names: names[0] != "vision_tower")
+                 if freeze_tower else None)
     tx, _ = build_optimizer(targs, n_vit_layers=cfg.vit.num_layers,
-                            n_llm_layers=lm_cfg.num_layers)
-    step_fn = make_train_step(model, tx, donate=True)
+                            n_llm_layers=lm_cfg.num_layers,
+                            trainable_fn=trainable)
+    step_fn = make_train_step(model, tx, donate=True,
+                              trainable_fn=trainable)
 
     state = TrainState.create(params, tx)
     state, metrics = step_fn(state, batch)
@@ -373,9 +385,11 @@ def bench_train_multimodal(remat: bool = True, batch: int = 4):
     # path -> use full N_vit.
     vit_tokens = B * 1 * 1025
     vit_s, vit_d, vit_layers = 1025, 1024, cfg.vit.num_layers
-    attn_vit = 3 * 4 * B * vit_s * vit_s * vit_d * vit_layers  # bidirectional
+    # frozen tower: forward only (1/3 of the fwd+bwd FLOP multiplier)
+    vit_mult = 1.0 / 3.0 if freeze_tower else 1.0
+    attn_vit = vit_mult * 3 * 4 * B * vit_s * vit_s * vit_d * vit_layers
     attn_lm = 3 * 2 * B * S * S * lm_cfg.hidden_size * lm_cfg.num_layers
-    flops = (6 * n_lm * B * S + 6 * n_vit * vit_tokens
+    flops = (6 * n_lm * B * S + vit_mult * 6 * n_vit * vit_tokens
              + 6 * n_proj * B * 256 + attn_vit + attn_lm)
     peak = 197e12
     mfu = flops / dt / peak
@@ -714,6 +728,14 @@ def main():
         ("train_multimodal", lambda: (lambda r: details.update(
             train_tokens_per_sec_multimodal=round(r[0]),
             train_mfu_multimodal=round(r[1], 3)))(bench_train_multimodal())),
+        # the REFERENCE multimodal config: both recipe stages freeze the
+        # vision tower (pretrain.sh/sft.sh), so this is the
+        # apples-to-apples multimodal training row; full-tune above is a
+        # beyond-reference capability
+        ("train_multimodal_sft", lambda: (lambda r: details.update(
+            train_tokens_per_sec_multimodal_sft=round(r[0]),
+            train_mfu_multimodal_sft=round(r[1], 3)))(
+            bench_train_multimodal(freeze_tower=True))),
         # mid-run ViT sample: the throttle clock varies per-minute and a
         # whole run can sit in one state — sample a third time region
         ("vit_midtime",

@@ -39,12 +39,14 @@ residual-distribution correction, out of scope.
 Measured (v5e, 1.9B-class decoder, bf16): an 8-token verify window
 costs 1.05x a single decode step (7.6 tokens per step-cost at full
 acceptance); end-to-end even RANDOM weights loop enough for 2.8
-tokens/window = 1.69x decode throughput. CAVEAT — full 7B bf16 on one
-16 GB chip is GATED: XLA lays out weights differently for 2..64-token
-decode forwards and hoists ~3 GB of one-time weight-relayout copies
-that do not fit beside 12.8 GB of parameters (sq=1 and sq>=128 use the
-canonical layout; probed at sq in {2,4,8,16,64} — all relayout). Use
-on models <= ~12 GB params per chip, or shard the 7B over a mesh.
+tokens/window = 1.69x decode throughput. TOOLCHAIN NOTE — the round-3
+XLA builds laid out weights differently for 2..64-token decode forwards
+and hoisted ~3 GB of one-time relayout copies (did not fit beside
+12.8 GB of 7B params on a 16 GB chip). The round-4 toolchain does NOT
+reproduce this (tools/layout_probe.py: temp 0.0 GB at s_q=8, 32 layers,
+scan and no-scan; bench serving_spec_bf16 runs 7B bf16 speculative
+serving on one chip). If a future toolchain regresses, the probe
+measures it in one compile and layout pinning is the lever it tests.
 
 bf16 NOTE: parity with the plain Generator is bit-exact in f32 (CI) and
 held exactly on hardware at 4 decoder layers; at 8+ RANDOM-weight

@@ -86,7 +86,8 @@ class ServingEngine:
                  chunk_steps: int = 8, pipeline: int = 1,
                  mesh=None, param_shardings=None,
                  spec_draft: int = 0, spec_ngram: int = 2,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0,
+                 prefill_windows_per_step: int = 4):
         # --- engine-integrated speculative decoding --------------------
         # spec_draft=k > 0 turns each engine step into prompt-lookup
         # verify WINDOWS: every active slot proposes k draft tokens from
@@ -110,8 +111,18 @@ class ServingEngine:
         # Keep C >= 128: 2..64-token forwards hit the XLA
         # weight-relayout cliff at 7B bf16 (CLAUDE.md).
         self.prefill_chunk = int(prefill_chunk)
+        # per-STEP window budget (vLLM max_num_batched_tokens analogue,
+        # in units of C): bounds the decode stall any one step pays to
+        # admissions at budget*C window-tokens, while letting short
+        # prompts (<= budget windows) admit in a single step — one
+        # window per slot per step made EVERY multi-window prompt pay
+        # n interleaved steps of TTFT and stalls scale with the number
+        # of concurrently admitting slots (measured: chunked TTFT 1.42 s
+        # vs 0.99 s whole-prompt on 90-350-token prompts)
+        self.prefill_windows_per_step = max(int(prefill_windows_per_step),
+                                            1)
         # slot -> in-progress chunked-prefill state (slot occupied but
-        # not yet decoding; windows advance one per step)
+        # not yet decoding; windows advance oldest-first per step)
         self._prefilling = {}
         self.chunk_steps = max(int(chunk_steps), 1)
         # worst-case cache/token growth of one jitted chunk
@@ -555,41 +566,55 @@ class ServingEngine:
         self._active_np = None
         staged.append((slot, req, plen, tok_dev))
 
+    def _one_window(self, slot, staged):
+        """Advance one (1, C) prefill window for `slot`; finish the
+        admission when it was the last window."""
+        st = self._prefilling[slot]
+        ci, C = st["done"], self.prefill_chunk
+        last_row = (st["plen"] - 1) - (st["n"] - 1) * C
+        layers, tok_dev = self._prefill_window(
+            self.params,
+            jnp.asarray(st["ids"][:, ci * C:(ci + 1) * C]),
+            self.cache["layers"], st["tables_row"],
+            jnp.int32(ci * C),
+            jnp.int32(last_row if ci == st["n"] - 1 else 0),
+            st["temp"], st["rng"])
+        self.cache["layers"] = layers
+        st["done"] = ci + 1
+        if st["done"] == st["n"]:
+            # ragged tail: snap the slot's length to the REAL
+            # prompt end (garbage rows past plen are never
+            # attended; decode overwrites them in order), and
+            # only now reveal the real tables row globally
+            self.cache["lengths"] = \
+                self.cache["lengths"].at[slot].set(st["plen"])
+            self._tables[slot] = st["row"]
+            self._tables_dirty = True
+            del self._prefilling[slot]
+            self._finish_admission(slot, st["req"], st["plen"],
+                                   tok_dev, staged)
+
     def _advance_prefill(self):
-        """Run ONE pending prefill window per prefilling slot (chunked
-        prefill interleaves with decode: running streams take at most a
-        one-window hit per step while a long prompt admits). With no
-        active decode slots there is nothing to interleave with, so loop
-        until at least one admission completes."""
+        """Run up to `prefill_windows_per_step` pending prefill windows,
+        OLDEST admission first (depth-first: finishing one request's
+        prompt beats spreading windows breadth-first — same total work,
+        strictly earlier first tokens). Chunked prefill interleaves with
+        decode: running streams take at most a budget*C-token hit per
+        step while prompts admit. With no active decode slots there is
+        nothing to interleave with, so loop until at least one admission
+        completes."""
         if not self._prefilling:
             return
         staged = []
+        budget = self.prefill_windows_per_step
         while True:
-            for slot in list(self._prefilling):
-                st = self._prefilling[slot]
-                ci, C = st["done"], self.prefill_chunk
-                last_row = (st["plen"] - 1) - (st["n"] - 1) * C
-                layers, tok_dev = self._prefill_window(
-                    self.params,
-                    jnp.asarray(st["ids"][:, ci * C:(ci + 1) * C]),
-                    self.cache["layers"], st["tables_row"],
-                    jnp.int32(ci * C),
-                    jnp.int32(last_row if ci == st["n"] - 1 else 0),
-                    st["temp"], st["rng"])
-                self.cache["layers"] = layers
-                st["done"] = ci + 1
-                if st["done"] == st["n"]:
-                    # ragged tail: snap the slot's length to the REAL
-                    # prompt end (garbage rows past plen are never
-                    # attended; decode overwrites them in order), and
-                    # only now reveal the real tables row globally
-                    self.cache["lengths"] = \
-                        self.cache["lengths"].at[slot].set(st["plen"])
-                    self._tables[slot] = st["row"]
-                    self._tables_dirty = True
-                    del self._prefilling[slot]
-                    self._finish_admission(slot, st["req"], st["plen"],
-                                           tok_dev, staged)
+            used = 0
+            for slot in list(self._prefilling):   # insertion = admission order
+                while slot in self._prefilling and used < budget:
+                    self._one_window(slot, staged)
+                    used += 1
+                if used >= budget:
+                    break
             active = any(r is not None and s not in self._prefilling
                          for s, r in enumerate(self.slots))
             if active or not self._prefilling:

@@ -359,8 +359,7 @@ def main():
                    help="prompt-lookup speculative decode with K-token "
                         "drafts for greedy requests (exact same tokens, "
                         "fewer forwards; response arrives as one chunk "
-                        "instead of streaming). Needs params to fit "
-                        "beside ~3 GB of XLA relayout scratch — see "
+                        "instead of streaming) — see "
                         "generate/speculative.py")
     p.add_argument("--int8-weights", action="store_true",
                    help="weight-only int8 LM kernels (per-output-channel "

@@ -49,15 +49,42 @@ def make_loss_fn(model, *, use_packing_segments: bool = False):
     return loss_fn
 
 
+def stop_frozen_params(params, trainable_fn: Callable):
+    """stop_gradient every param subtree `trainable_fn(path)` rejects.
+
+    The reference's freeze matrix is `requires_grad=False` — torch never
+    COMPUTES frozen gradients. optax's set_to_zero only discards updates
+    after a full backward; structurally stopping the params lets XLA
+    delete the frozen backward cone (measured: a frozen ViT-L tower's
+    dead backward was 57 ms of a 217 ms multimodal step). Same path
+    convention as build_optimizer's trainable_fn; safe alongside the
+    embed-row mask (row-masked embeddings report trainable=True)."""
+    from merlin_tpu.train.optimizer import path_names
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: (x if trainable_fn(path_names(path))
+                         else jax.lax.stop_gradient(x)), params)
+
+
 def make_train_step(model, tx, *, mesh: Optional[Mesh] = None,
                     use_packing_segments: bool = False,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    trainable_fn: Optional[Callable] = None) -> Callable:
     """Returns jitted ``train_step(state, batch) -> (state, metrics)``.
 
     ``batch`` leaves are shaped (accum, micro_batch, ...); accum=1 for no
     accumulation. Gradients are averaged across microbatches.
+    ``trainable_fn`` (path-names tuple -> bool, the same function handed
+    to build_optimizer) additionally stops gradients INTO frozen
+    subtrees so their backward is never computed.
     """
     loss_fn = make_loss_fn(model, use_packing_segments=use_packing_segments)
+    if trainable_fn is not None:
+        base_loss = loss_fn
+
+        def loss_fn(params, batch):  # noqa: F811 — frozen-aware wrapper
+            return base_loss(stop_frozen_params(params, trainable_fn),
+                             batch)
     grad_fn = jax.value_and_grad(loss_fn)
 
     def train_step(state: TrainState, batch):

@@ -75,7 +75,8 @@ class Trainer:
                 training_args, "packing_segment_mask", False)
         self._train_step = make_train_step(
             bundle.model, self.tx, mesh=self.mesh,
-            use_packing_segments=use_packing_segments)
+            use_packing_segments=use_packing_segments,
+            trainable_fn=bundle.trainable_mask)
         self.state: Optional[TrainState] = None
 
     # ------------------------------------------------------------------

@@ -88,7 +88,8 @@ def test_engine_chunked_prefill_interleaves_with_decode(model_params):
     engine = ServingEngine(model, params, num_slots=2, max_len=96,
                            eos_id=EOS, pad_id=PAD, prompt_bucket=16,
                            page_size=8, cache_dtype=jnp.float32,
-                           prefill_chunk=8, chunk_steps=1)
+                           prefill_chunk=8, chunk_steps=1,
+                           prefill_windows_per_step=1)
     r1 = engine.submit([5, 17, 33, 41], max_new_tokens=12)
     engine.step()
     engine.step()  # r1 decoding

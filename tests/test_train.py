@@ -74,7 +74,10 @@ def test_frozen_params_do_not_move(eight_devices):
     tx, _ = build_optimizer(targs, n_vit_layers=2, n_llm_layers=2,
                             trainable_fn=bundle.trainable_mask,
                             embed_row_mask=bundle.embed_row_trainable)
-    step_fn = make_train_step(bundle.model, tx, mesh=mesh, donate=False)
+    # structural freeze: stop_gradient the frozen subtrees so their
+    # backward is never computed (what the Trainer wires)
+    step_fn = make_train_step(bundle.model, tx, mesh=mesh, donate=False,
+                              trainable_fn=bundle.trainable_mask)
     with mesh:
         state = TrainState.create(bundle.params, tx)
         before_tower = np.asarray(
@@ -106,7 +109,8 @@ def test_projector_trains_when_rest_frozen(eight_devices):
                        devices=eight_devices)
     tx, _ = build_optimizer(targs, n_vit_layers=2, n_llm_layers=2,
                             trainable_fn=bundle.trainable_mask)
-    step_fn = make_train_step(bundle.model, tx, mesh=mesh, donate=False)
+    step_fn = make_train_step(bundle.model, tx, mesh=mesh, donate=False,
+                              trainable_fn=bundle.trainable_mask)
     with mesh:
         state = TrainState.create(bundle.params, tx)
         before = np.asarray(state.params["projector"]["conv"]["kernel"])
@@ -114,6 +118,36 @@ def test_projector_trains_when_rest_frozen(eight_devices):
         state, _ = step_fn(state, stack_microbatches(_fake_batch(bundle), 2))
     assert np.abs(np.asarray(
         state.params["projector"]["conv"]["kernel"]) - before).max() > 0
+
+
+def test_structural_freeze_matches_optax_freeze(eight_devices):
+    """stop_gradient freezing (skips the frozen backward entirely) must
+    produce bit-identical updates to optax-only set_to_zero freezing:
+    multi_transform partitions per label, so the train group's clipping
+    never saw frozen grads either."""
+    bundle, targs = _bundle(freeze_vision_tower=True)
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2),
+                       devices=eight_devices)
+    tx, _ = build_optimizer(targs, n_vit_layers=2, n_llm_layers=2,
+                            trainable_fn=bundle.trainable_mask,
+                            embed_row_mask=bundle.embed_row_trainable)
+    batch = stack_microbatches(_fake_batch(bundle), 2)
+    outs = []
+    for fn in (None, bundle.trainable_mask):
+        step_fn = make_train_step(bundle.model, tx, mesh=mesh,
+                                  donate=False, trainable_fn=fn)
+        with mesh:
+            state = TrainState.create(bundle.params, tx)
+            state, _ = step_fn(state, batch)
+            state, m = step_fn(state, batch)
+        outs.append((jax.tree.map(np.asarray, state.params),
+                     float(m["loss"])))
+    (p_opt, l_opt), (p_stop, l_stop) = outs
+    assert l_opt == pytest.approx(l_stop, rel=1e-5)
+    flat_a = jax.tree_util.tree_leaves_with_path(p_opt)
+    flat_b = jax.tree_util.tree_leaves_with_path(p_stop)
+    for (pa, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=str(pa))
 
 
 def test_llrd_scales():

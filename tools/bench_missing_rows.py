@@ -37,6 +37,10 @@ def main():
             vit_vs_2x_a100=round(best / (2 * bench.A100_REFERENCE_VIT_FPS), 3))
 
     rows = [
+        ("train_multimodal_sft", lambda: (lambda r: details.update(
+            train_tokens_per_sec_multimodal_sft=round(r[0]),
+            train_mfu_multimodal_sft=round(r[1], 3)))(
+            bench.bench_train_multimodal(freeze_tower=True))),
         ("serving_int8w", lambda: (lambda r: details.update(
             vicuna7b_serving_int8w_tokens_per_sec_8slots=round(
                 r["tokens_per_sec"], 1),
@@ -70,6 +74,18 @@ def main():
             bench.bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                                    weight_q8=True, spec_draft=4,
                                    prefill_chunk=128))),
+        # 7B bf16 speculative serving: the r3 weight-relayout cliff does
+        # not reproduce on the current toolchain (layout probe: temp 0.0
+        # GB at s_q=8, 32 layers, scan+no-scan) — this row is the
+        # execution proof
+        ("serving_spec_bf16", lambda: (lambda r: details.update(
+            vicuna7b_serving_spec_bf16_tokens_per_sec_4slots=round(
+                r["tokens_per_sec"], 1),
+            serving_spec_bf16_tokens_per_forward=r[
+                "decode_tokens_per_forward"],
+            serving_spec_bf16_p50_inter_token_ms=round(
+                r["p50_inter_token_ms"], 1)))(
+            bench.bench_serving_7b(spec_draft=4))),
         ("serving_chunked", lambda: (lambda r: details.update(
             serving_chunked_tokens_per_sec=round(r["tokens_per_sec"], 1),
             serving_chunked_p50_ttft_under_load_ms=round(

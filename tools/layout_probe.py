@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build(num_layers):
+def build(num_layers, scan=False):
     from flax import linen as nn
 
     from merlin_tpu.models.decoder import CausalLM, init_kv_cache
@@ -33,17 +33,26 @@ def build(num_layers):
     import dataclasses
 
     cfg = dataclasses.replace(vicuna_7b(), num_layers=num_layers,
-                              scan_layers=False)
+                              scan_layers=scan)
     model = CausalLM(cfg)
     import merlin_tpu.models.decoder as dec
 
     multi = CausalLM(dataclasses.replace(cfg, paged_multi_query=True))
 
-    from bench import materialize_bf16_params
-
-    params = materialize_bf16_params(model, jnp.ones((1, 4), jnp.int32))
-    cache = init_kv_cache(cfg, 1, max_len=512, layout="paged",
-                          page_size=128, dtype=jnp.bfloat16)
+    # ABSTRACT params: .lower() accepts ShapeDtypeStructs, so the probe
+    # never allocates 13.5 GB on the chip — full-7B (--layers 32) probes
+    # are compile-helper-only and safe to run beside other chip work
+    abstract = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.ones((1, 4), jnp.int32))
+    )["params"]
+    params = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        nn.unbox(abstract))
+    cache = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.eval_shape(lambda: init_kv_cache(
+            cfg, 1, max_len=512, layout="paged",
+            page_size=128, dtype=jnp.bfloat16)))
     return model, multi, params, cache
 
 
@@ -60,9 +69,12 @@ def main():
                     help="decoder layers (8 shows the cliff at ~1/4 scale; "
                          "32 = full 7B, needs the whole chip)")
     ap.add_argument("--sq", type=int, default=8)
+    ap.add_argument("--scan", action="store_true",
+                    help="scan_layers=True (the serving config — the r3 "
+                         "cliff may be scan-specific)")
     args = ap.parse_args()
 
-    model, multi, params, cache = build(args.layers)
+    model, multi, params, cache = build(args.layers, scan=args.scan)
 
     def decode1(p, tok, c):
         return model.apply({"params": p}, tok,

@@ -56,7 +56,7 @@ def build():
             rng.integers(0, 255, (B, 1, 448, 448, 3)).astype(np.uint8)))
     params = materialize_params(
         model, jnp.asarray(ids[:1, :8]), dtype=jnp.float32,
-        images=jnp.asarray(batch["images"][0, :1], jnp.float32))
+        images=jnp.asarray(batch["images"][:1, :1], jnp.float32))
     return model, params, batch, B * S
 
 
