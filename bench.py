@@ -453,7 +453,8 @@ def bench_paged_bandwidth():
 
 
 def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
-                     weight_q8=False, spec_draft=0, prefill_chunk=0):
+                     weight_q8=False, spec_draft=0, prefill_chunk=0,
+                     prefill_chunk_min=0):
     """Continuous-batching serving on the FULL vicuna-7b config over the
     PALLAS paged-decode path: scan_layers stacks the per-layer paged caches
     (L, pages, page, hkv*d) so ONE paged-attention kernel instance serves
@@ -502,7 +503,8 @@ def bench_serving_7b(cache_dtype=jnp.bfloat16, num_slots=4,
                         eos_id=2, pad_id=0, prompt_bucket=128,
                         page_size=128, chunk_steps=1, pipeline=8,
                         cache_dtype=cache_dtype, spec_draft=spec_draft,
-                        prefill_chunk=prefill_chunk)
+                        prefill_chunk=prefill_chunk,
+                        prefill_chunk_min=prefill_chunk_min)
     try:
         return _drive_serving_workload(eng, num_slots)
     finally:
@@ -706,6 +708,15 @@ def main():
     details["vicuna7b_decode_tokens_per_sec_chip"] = round(tps, 2)
     details["p50_ttft_ms_prefill128"] = round(ttft_ms, 1)
     flush()
+    # calibration rides the PRIMARY line: the tunnel'd chip throttles
+    # per-session (observed 126 down to ~33 TF/s across rounds), so the
+    # headline number is uninterpretable without the chip-speed context
+    try:
+        cal = round(bench_calibration(), 1)
+        details["calibration_matmul_tflops"] = cal
+        flush()
+    except Exception:  # noqa: BLE001 — never lose the primary line
+        cal = None
     # primary line FIRST: a driver-side timeout on the later (slower to
     # compile) sections must not lose the headline metric
     print(json.dumps({
@@ -713,6 +724,7 @@ def main():
         "value": details["vicuna7b_decode_tokens_per_sec_chip"],
         "unit": "tokens/s",
         "vs_baseline": round(tps / A100_REFERENCE_TPS, 3),
+        "calibration_matmul_tflops": cal,
     }), flush=True)
 
     for name, fn in [
@@ -812,7 +824,12 @@ def main():
             bench_serving_7b(prefill_chunk=128))),
         # EVERYTHING on: int8 weights + int8 KV + 8 slots + speculative
         # verify windows + chunked prefill (the q8 blocked kernel serves
-        # the (1, 128) prompt windows against the int8 pool)
+        # the (1, 128) prompt windows against the int8 pool).
+        # prefill_chunk_min=512: HYBRID admission — this workload's
+        # 90-350-token prompts take the measured-faster whole-prompt
+        # path (r4: forced chunking at these lengths cost ~220 ms TTFT
+        # and ~50-70 tok/s vs the spec-only row) while chunking stays armed
+        # for prompts long enough to stall decode.
         ("serving_full", lambda: (lambda r: details.update(
             vicuna7b_serving_full_tokens_per_sec_8slots=round(
                 r["tokens_per_sec"], 1),
@@ -824,7 +841,7 @@ def main():
             ))(
             bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                              weight_q8=True, spec_draft=4,
-                             prefill_chunk=128))),
+                             prefill_chunk=128, prefill_chunk_min=512))),
         # re-time ViT at the end of the run (keep the best window seen)
         ("vit_retime",
          lambda: update_vit(bench_vit_encode(windows=4, gap_s=20.0))),

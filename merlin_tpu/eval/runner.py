@@ -33,8 +33,8 @@ class EvalConfig:
     # greedy-exact prompt-lookup speculative decode with K-token drafts
     # (generate/speculative.py); 0 = off. Greedy single-beam only —
     # big win on frame loops like the LaSOT tracking eval whose answers
-    # echo box-trajectory text. Needs params to fit beside XLA's
-    # multi-token relayout scratch (fine below ~12 GB per chip).
+    # echo box-trajectory text. (The r3 toolchain's multi-token weight-
+    # relayout scratch no longer reproduces — tools/layout_probe.py.)
     speculative: int = 0
 
 

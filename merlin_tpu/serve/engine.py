@@ -87,7 +87,8 @@ class ServingEngine:
                  mesh=None, param_shardings=None,
                  spec_draft: int = 0, spec_ngram: int = 2,
                  prefill_chunk: int = 0,
-                 prefill_windows_per_step: int = 4):
+                 prefill_windows_per_step: int = 4,
+                 prefill_chunk_min: int = 0):
         # --- engine-integrated speculative decoding --------------------
         # spec_draft=k > 0 turns each engine step into prompt-lookup
         # verify WINDOWS: every active slot proposes k draft tokens from
@@ -121,6 +122,16 @@ class ServingEngine:
         # vs 0.99 s whole-prompt on 90-350-token prompts)
         self.prefill_windows_per_step = max(int(prefill_windows_per_step),
                                             1)
+        # hybrid admission: prompts of true length <= prefill_chunk_min
+        # take the WHOLE-PROMPT prefill+insert path even when chunking is
+        # on (measured: at 90-350-token prompts the n-step windowed
+        # admission only delays first tokens — 1.42 s vs 0.99 s TTFT —
+        # while long prompts still need chunking to bound the decode
+        # stall one admission causes). 0 = always chunk (the single
+        # compiled prompt signature). Both prefill paths are jitted
+        # lazily, so a long-only workload never compiles the bucketed
+        # whole-prompt signature.
+        self.prefill_chunk_min = int(prefill_chunk_min)
         # slot -> in-progress chunked-prefill state (slot occupied but
         # not yet decoding; windows advance oldest-first per step)
         self._prefilling = {}
@@ -449,10 +460,16 @@ class ServingEngine:
             self._queue.append(req)
         return req
 
-    def _bucketed(self, ids: np.ndarray) -> np.ndarray:
+    def _route_chunked(self, ids: np.ndarray) -> bool:
+        """Hybrid admission policy: chunk only prompts strictly longer
+        than ``prefill_chunk_min`` (0 = chunk everything)."""
+        return bool(self.prefill_chunk) and \
+            len(ids) > self.prefill_chunk_min
+
+    def _bucketed(self, ids: np.ndarray, chunked: bool) -> np.ndarray:
         # chunked prefill pads to the window size instead (its only
         # compiled prompt shape is (1, prefill_chunk))
-        bucket = self.prefill_chunk or self.prompt_bucket
+        bucket = self.prefill_chunk if chunked else self.prompt_bucket
         pad = (-len(ids)) % bucket or 0
         if pad:
             ids = np.concatenate([ids, np.full(pad, self.pad_id, np.int32)])
@@ -476,7 +493,8 @@ class ServingEngine:
                 if req is None:
                     self._resolve_admissions(staged)
                     return
-                ids = self._bucketed(req.input_ids)
+                chunked = self._route_chunked(req.input_ids)
+                ids = self._bucketed(req.input_ids, chunked)
                 try:
                     # reserve the bucketed prompt's pages (prefill writes
                     # the whole bucket; padded rows are masked by `lengths`)
@@ -496,7 +514,7 @@ class ServingEngine:
                         req.emit(-1, True)  # error sentinel (see Request)
             # prompt length is HOST knowledge: never sync it from device
             plen = min(len(req.input_ids), ids.shape[1])
-            if self.prefill_chunk:
+            if chunked:
                 # windows of C tokens straight into the slot's pool pages
                 # (multi-token paged path, arbitrary tables): no small
                 # cache, no insert scatter, ONE compiled prompt shape.

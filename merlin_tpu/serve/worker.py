@@ -43,6 +43,9 @@ class ModelWorker:
                  use_engine: bool = False, engine_slots: int = 4,
                  engine_max_len: int = 2048, engine_chunk_steps: int = 8,
                  engine_pipeline: int = 1, engine_cache_dtype=None,
+                 engine_spec_draft: int = 0,
+                 engine_prefill_chunk: int = 0,
+                 engine_prefill_chunk_min: int = 0,
                  speculative: int = 0):
         from merlin_tpu.eval.runner import EvalConfig, EvalModel
 
@@ -79,6 +82,9 @@ class ModelWorker:
                 bundle.model, bundle.params, num_slots=engine_slots,
                 max_len=engine_max_len, chunk_steps=engine_chunk_steps,
                 pipeline=engine_pipeline,
+                spec_draft=engine_spec_draft,
+                prefill_chunk=engine_prefill_chunk,
+                prefill_chunk_min=engine_prefill_chunk_min,
                 eos_id=bundle.tokenizer.eos_token_id,
                 pad_id=bundle.tokenizer.pad_token_id, **kw)
             threading.Thread(target=self._engine_loop, daemon=True).start()
@@ -317,6 +323,9 @@ def serve(bundle, *, host: str = "0.0.0.0", port: int = 21002,
           engine_max_len: int = 2048, engine_chunk_steps: int = 8,
           engine_pipeline: int = 1,
           engine_cache_dtype=None,
+          engine_spec_draft: int = 0,
+          engine_prefill_chunk: int = 0,
+          engine_prefill_chunk_min: int = 0,
           speculative: int = 0) -> ThreadingHTTPServer:
     worker = ModelWorker(
         bundle, worker_address=f"http://{host}:{port}",
@@ -324,7 +333,11 @@ def serve(bundle, *, host: str = "0.0.0.0", port: int = 21002,
         use_engine=use_engine, engine_slots=engine_slots,
         engine_max_len=engine_max_len, engine_chunk_steps=engine_chunk_steps,
         engine_pipeline=engine_pipeline,
-        engine_cache_dtype=engine_cache_dtype, speculative=speculative)
+        engine_cache_dtype=engine_cache_dtype,
+        engine_spec_draft=engine_spec_draft,
+        engine_prefill_chunk=engine_prefill_chunk,
+        engine_prefill_chunk_min=engine_prefill_chunk_min,
+        speculative=speculative)
     server = ThreadingHTTPServer((host, port), make_handler(worker))
     server.worker = worker
     return server
@@ -355,6 +368,22 @@ def main():
     p.add_argument("--engine-cache-dtype", default=None,
                    choices=[None, "bf16", "int8", "f32"],
                    help="int8 halves KV pool memory (per-token-head scales)")
+    p.add_argument("--engine-spec-draft", type=int, default=0, metavar="K",
+                   help="ENGINE-integrated speculative decoding: every "
+                        "engine step verifies K prompt-lookup draft "
+                        "tokens per slot through the multi-token paged "
+                        "forward (greedy slots commit up to K+1 tokens "
+                        "per forward; sampled slots ride at 1)")
+    p.add_argument("--engine-prefill-chunk", type=int, default=0,
+                   metavar="C",
+                   help="admit prompts in (1, C) windows interleaved "
+                        "with decode (bounds the decode stall a long "
+                        "prompt's admission causes)")
+    p.add_argument("--engine-prefill-chunk-min", type=int, default=0,
+                   metavar="T",
+                   help="hybrid admission: prompts <= T tokens take the "
+                        "whole-prompt prefill path (faster at short "
+                        "lengths); longer ones chunk")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="prompt-lookup speculative decode with K-token "
                         "drafts for greedy requests (exact same tokens, "
@@ -389,6 +418,9 @@ def main():
                    engine_chunk_steps=args.engine_chunk_steps,
                    engine_pipeline=args.engine_pipeline,
                    engine_cache_dtype=args.engine_cache_dtype,
+                   engine_spec_draft=args.engine_spec_draft,
+                   engine_prefill_chunk=args.engine_prefill_chunk,
+                   engine_prefill_chunk_min=args.engine_prefill_chunk_min,
                    speculative=args.speculative)
     logger.info("worker listening on %s:%d", args.host, args.port)
     server.serve_forever()

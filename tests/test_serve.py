@@ -138,6 +138,32 @@ def test_engine_backed_worker_streams(tiny_bundle):
         worker.stop()
 
 
+def test_engine_worker_spec_and_hybrid_prefill_match_plain(tiny_bundle):
+    """An engine-backed worker with engine-integrated speculative decode
+    + hybrid chunked prefill returns the SAME greedy text as the plain
+    engine-backed worker (both paths are token-exact in f32)."""
+    req = {"prompt": "hello there hello there", "temperature": 0.0,
+           "max_new_tokens": 6, "stop": "</s>"}
+
+    def final_text(**extra):
+        worker = worker_mod.ModelWorker(
+            tiny_bundle, worker_address="local", controller_address=None,
+            use_engine=True, engine_slots=2, engine_max_len=64,
+            engine_cache_dtype="f32", **extra)
+        try:
+            chunks = list(worker.generate_stream(dict(req)))
+            assert chunks and all(
+                json.loads(c[:-1])["error_code"] == 0 for c in chunks)
+            return json.loads(chunks[-1][:-1])["text"]
+        finally:
+            worker.stop()
+
+    plain = final_text()
+    fancy = final_text(engine_spec_draft=2, engine_prefill_chunk=8,
+                       engine_prefill_chunk_min=4)
+    assert plain == fancy
+
+
 def test_speculative_worker_matches_plain_text(tiny_bundle):
     """--speculative K worker: greedy responses carry the SAME final text
     as the plain per-token path (speculative decode is greedy-exact),

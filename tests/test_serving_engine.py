@@ -79,6 +79,34 @@ def test_engine_chunked_prefill_matches_generator(model_params, C):
         assert req.generated == expected, (prompt, req.generated, expected)
 
 
+def test_engine_hybrid_prefill_routes_by_length(model_params):
+    """prefill_chunk_min=T keeps short prompts (len <= T) on the
+    whole-prompt prefill+insert path (measured faster at short lengths)
+    while longer prompts still admit in (1, C) windows. Both routes
+    token-exact vs the plain Generator."""
+    model, params = model_params
+    C = 8
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=8, cache_dtype=jnp.float32,
+                           prefill_chunk=C, prefill_chunk_min=C)
+    whole_calls, window_calls = [], []
+    real_prefill, real_window = engine._prefill, engine._prefill_window
+    engine._prefill = lambda *a: (whole_calls.append(1),
+                                  real_prefill(*a))[1]
+    engine._prefill_window = lambda *a: (window_calls.append(1),
+                                         real_window(*a))[1]
+    short, long_ = [5, 17, 33, 41], list(range(7, 7 + 2 * C + 5))
+    reqs = [engine.submit(p, max_new_tokens=6) for p in (short, long_)]
+    engine.run_until_idle()
+    assert len(whole_calls) == 1          # short prompt: one prefill
+    assert len(window_calls) == 3         # long prompt: ceil(21/8) windows
+    for req, prompt in zip(reqs, (short, long_)):
+        assert req.done
+        expected = _reference(model, params, prompt, 6)
+        assert req.generated == expected, (prompt, req.generated, expected)
+
+
 def test_engine_chunked_prefill_interleaves_with_decode(model_params):
     """A long prompt admits window-by-window WHILE another slot decodes;
     decode steps during the admission scatter their masked token into
