@@ -305,6 +305,38 @@ def test_engine_preemption_recovers(model_params):
             (req.generated,)
 
 
+def test_engine_preemption_reroutes_hybrid_prefill(model_params):
+    """A preempted request re-admits with prompt+generated as its new
+    prompt; the hybrid router re-decides from the GROWN length, so a
+    request admitted whole-prompt can legitimately re-admit chunked.
+    Outputs stay exact through the route change."""
+    model, params = model_params
+    C = 8
+    engine = ServingEngine(model, params, num_slots=2, max_len=64,
+                           eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                           page_size=16, cache_dtype=jnp.float32,
+                           chunk_steps=4, prefill_chunk=C,
+                           prefill_chunk_min=45)
+    preempts, routes = [], []
+    orig_p, orig_r = engine._preempt_youngest, engine._route_chunked
+    engine._preempt_youngest = lambda exclude: (preempts.append(exclude),
+                                                orig_p(exclude))[1]
+    engine._route_chunked = lambda ids: (routes.append(len(ids)),
+                                         orig_r(ids))[1]
+    # 40-token prompts admit whole-prompt (<= 45); a preempted victim
+    # re-admits at 40 + generated > 45 -> chunked
+    prompts = [list(range(5, 45)), list(range(7, 47))]
+    reqs = [engine.submit(p, max_new_tokens=8) for p in prompts]
+    engine.run_until_idle()
+    assert all(r.done for r in reqs)
+    assert preempts, "pool was sized to force preemption"
+    assert any(n > 45 for n in routes), "re-admission saw the grown prompt"
+    assert engine.pool.free_pages == 7
+    for req, prompt in zip(reqs, prompts):
+        assert req.generated == _reference(model, params, prompt, 8), \
+            (req.generated,)
+
+
 def test_engine_interleaved_admission(model_params):
     """A request submitted mid-flight joins without disturbing others."""
     model, params = model_params

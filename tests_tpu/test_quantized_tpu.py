@@ -36,8 +36,15 @@ def test_q8_weights_logits_on_tpu():
     cfg, model, params, ids = _f32_model()
     qmodel = CausalLM(dataclasses.replace(cfg, weight_dtype="int8"))
     qparams = quantize_decoder_params_int8(params)
-    qlogits, _ = jax.jit(lambda p, i: qmodel.apply({"params": p}, i))(
-        qparams, ids)
+    # pin TRUE-f32 matmuls on both sides: at the MXU's default precision
+    # the operands are bf16-rounded, which is EXACT for int8-valued
+    # weights (<= 8 significand bits) but LOSSY for the reference's
+    # dequantized q*scale f32 weights — the comparison would measure the
+    # reference's own rounding, not the quantized path (first observed on
+    # the r4 toolchain: 0.04 logit diffs, all from the dequant side)
+    with jax.default_matmul_precision("highest"):
+        qlogits, _ = jax.jit(lambda p, i: qmodel.apply({"params": p}, i))(
+            qparams, ids)
 
     deq = jax.tree_util.tree_map(np.asarray, qparams)
 
@@ -54,8 +61,9 @@ def test_q8_weights_logits_on_tpu():
             return {k: dequant(v) for k, v in node.items()}
         return node
 
-    dlogits, _ = jax.jit(lambda p, i: model.apply({"params": p}, i))(
-        dequant(deq), ids)
+    with jax.default_matmul_precision("highest"):
+        dlogits, _ = jax.jit(lambda p, i: model.apply({"params": p}, i))(
+            dequant(deq), ids)
     np.testing.assert_allclose(np.asarray(qlogits), np.asarray(dlogits),
                                rtol=2e-4, atol=2e-3)
 
