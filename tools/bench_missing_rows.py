@@ -73,7 +73,8 @@ def main():
             ))(
             bench.bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                                    weight_q8=True, spec_draft=4,
-                                   prefill_chunk=128))),
+                                   prefill_chunk=128,
+                                   prefill_chunk_min=512))),
         # 7B bf16 speculative serving: the r3 weight-relayout cliff does
         # not reproduce on the current toolchain (layout probe: temp 0.0
         # GB at s_q=8, 32 layers, scan+no-scan) — this row is the
