@@ -12,16 +12,17 @@ equivalent on a TPU host:
     ``S3_ENDPOINT`` / ``OSS_ENDPOINT``, the names the reference's
     internal provider maps to);
   * :func:`smart_open` dispatches s3:// URLs to boto3 when importable,
-    else to fsspec/s3fs with the same credentials, else raises with an
+    else to the in-repo stdlib SigV4 client (:mod:`.s3http`) when
+    credentials are present, else to fsspec/s3fs, else raises with an
     actionable message; every other scheme goes through fsspec; plain
     paths through ``open``;
   * :func:`list_keys` expands an s3:// prefix/glob (registry shard
-    expansion) via boto3 pagination or fsspec glob.
+    expansion) via boto3/s3http pagination or fsspec glob.
 
-boto3/s3fs are NOT installed in the CI environment — the adapter is
-unit-tested against a fake boto3 client (tests/test_storage.py), which
-exercises the credential plumbing, pagination, and streaming-body
-wrapping without a real object store.
+boto3/s3fs are NOT installed in the CI environment — the boto3 branch is
+unit-tested against a fake boto3 client, and the stdlib branch is
+WIRE-tested against a loopback S3 server that independently re-derives
+the SigV4 signature and paginates ListObjectsV2 (tests/test_storage.py).
 """
 
 from __future__ import annotations
@@ -42,6 +43,8 @@ def s3_credentials() -> Dict[str, Optional[str]]:
         "endpoint_url": (env.get("AWS_ENDPOINT_URL")
                          or env.get("S3_ENDPOINT")
                          or env.get("OSS_ENDPOINT")),
+        "region": (env.get("AWS_REGION")
+                   or env.get("AWS_DEFAULT_REGION") or "us-east-1"),
     }
 
 
@@ -76,6 +79,36 @@ def _boto3_client():
     return client
 
 
+def _s3_client():
+    """boto3 when importable, else the in-repo stdlib SigV4 client
+    (same get_object/list_objects_v2 call shapes). Raises ImportError
+    only when neither can serve — callers then fall through to fsspec."""
+    try:
+        return _boto3_client()
+    except ImportError:
+        creds = s3_credentials()
+        if not (creds["aws_access_key_id"]
+                and creds["aws_secret_access_key"]):
+            raise  # anonymous fsspec/s3fs may still work
+        from merlin_tpu.data.s3http import S3HttpClient
+
+        cache_key = ("s3http", creds["aws_access_key_id"],
+                     creds["aws_secret_access_key"],
+                     creds["aws_session_token"], creds["endpoint_url"],
+                     creds["region"])
+        client = _CLIENT_CACHE.get(cache_key)
+        if client is None:
+            client = S3HttpClient(
+                creds["aws_access_key_id"],
+                creds["aws_secret_access_key"],
+                session_token=creds["aws_session_token"],
+                endpoint_url=creds["endpoint_url"],
+                region=creds["region"])
+            _CLIENT_CACHE.clear()
+            _CLIENT_CACHE[cache_key] = client
+    return client
+
+
 def smart_open(path: str, mode: str = "rb"):
     """megfile.smart_open equivalent: s3://, any fsspec scheme, or local.
 
@@ -87,7 +120,7 @@ def smart_open(path: str, mode: str = "rb"):
             raise NotImplementedError("object-store writes are not part "
                                       "of the data path")
         try:
-            client = _boto3_client()
+            client = _s3_client()
         except ImportError:
             return _fsspec_open(path, mode)
         bucket, key = _split_s3(path)
@@ -201,7 +234,7 @@ def list_keys(url: str) -> List[str]:
             cut = min(cut, pos)
     prefix = key[:cut]
     try:
-        client = _boto3_client()
+        client = _s3_client()
     except ImportError:
         import fsspec
 

@@ -109,8 +109,11 @@ class ServingEngine:
         # prefill-into-identity-pages + insert scatter. One jit
         # signature regardless of prompt length (vs one compile per
         # prompt bucket), no small-cache allocation, no insert pass.
-        # Keep C >= 128: 2..64-token forwards hit the XLA
-        # weight-relayout cliff at 7B bf16 (CLAUDE.md).
+        # Keep C a multiple of page_size so windows tile pool pages
+        # exactly. (The r3 "2..64-token forwards relayout every weight"
+        # cliff does NOT reproduce on the current toolchain — 32-layer
+        # probe temp 0.0 GB, tools/layout_probe.py — so C's floor is
+        # page alignment, not layout avoidance.)
         self.prefill_chunk = int(prefill_chunk)
         # per-STEP window budget (vLLM max_num_batched_tokens analogue,
         # in units of C): bounds the decode stall any one step pays to

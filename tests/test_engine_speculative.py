@@ -112,6 +112,42 @@ def test_spec_engine_scan_layers(model_params):
     assert spec == plain
 
 
+@pytest.mark.parametrize("tensor", [1, 2])
+def test_spec_engine_token_exact_on_mesh(model_params, tensor):
+    """Same-prompt spec-vs-plain A/B ON A TP MESH (VERDICT r4 #4): the CPU
+    single-device tests prove spec==plain, but the shard_map'd multi-token
+    step is a different code path — greedy streams must stay token-exact
+    when the pool/params are tensor-sharded."""
+    model, params = model_params
+    if len(jax.devices()) < tensor:
+        pytest.skip("needs >= %d devices" % tensor)
+    from merlin_tpu.core.mesh import MeshConfig, create_mesh
+    from merlin_tpu.core.partitioning import sharding_for_tree
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=1, tensor=tensor),
+                       devices=jax.devices()[:tensor])
+    abstract = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.ones((1, 4), jnp.int32))
+    )["params"]
+    shardings = sharding_for_tree(nn.get_partition_spec(abstract), mesh)
+
+    outs = []
+    for kw in ({"chunk_steps": 4},
+               {"chunk_steps": 2, "spec_draft": 3, "prefill_chunk": 8}):
+        engine = ServingEngine(model, params, num_slots=2, max_len=128,
+                               eos_id=EOS, pad_id=PAD, prompt_bucket=16,
+                               page_size=16, cache_dtype=jnp.float32,
+                               mesh=mesh, param_shardings=shardings, **kw)
+        try:
+            reqs = [engine.submit(p, max_new_tokens=8) for p in PROMPTS]
+            engine.run_until_idle()
+            assert all(r.done for r in reqs)
+            outs.append([r.generated for r in reqs])
+        finally:
+            engine.close()
+    assert outs[1] == outs[0], (outs[1], outs[0])
+
+
 def test_spec_engine_int8_pages(model_params):
     """int8 KV pool + verify windows: completes and stays plausible (the
     quantized cache shifts logits, so token-exactness is vs ITSELF on a

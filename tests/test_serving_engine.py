@@ -293,13 +293,15 @@ def test_engine_preemption_recovers(model_params):
     orig = engine._preempt_youngest
     engine._preempt_youngest = lambda exclude: (preempts.append(exclude),
                                                 orig(exclude))[1]
-    # two 40-token prompts on a 7-usable-page pool (2 slots x 4 pages - trash)
+    free_at_init = engine.pool.free_pages  # pool idle: every page released
+    # two 40-token prompts on a pool one page too small (2 slots x 4 pages
+    # - trash) so growth must preempt
     prompts = [list(range(5, 45)), list(range(7, 47))]
     reqs = [engine.submit(p, max_new_tokens=8) for p in prompts]
     engine.run_until_idle()
     assert all(r.done for r in reqs)
     assert preempts, "pool was sized to force preemption"
-    assert engine.pool.free_pages == 7  # fully drained back
+    assert engine.pool.free_pages == free_at_init  # fully drained back
     for req, prompt in zip(reqs, prompts):
         assert req.generated == _reference(model, params, prompt, 8), \
             (req.generated,)
@@ -323,6 +325,7 @@ def test_engine_preemption_reroutes_hybrid_prefill(model_params):
                                                 orig_p(exclude))[1]
     engine._route_chunked = lambda ids: (routes.append(len(ids)),
                                          orig_r(ids))[1]
+    free_at_init = engine.pool.free_pages
     # 40-token prompts admit whole-prompt (<= 45); a preempted victim
     # re-admits at 40 + generated > 45 -> chunked
     prompts = [list(range(5, 45)), list(range(7, 47))]
@@ -331,7 +334,7 @@ def test_engine_preemption_reroutes_hybrid_prefill(model_params):
     assert all(r.done for r in reqs)
     assert preempts, "pool was sized to force preemption"
     assert any(n > 45 for n in routes), "re-admission saw the grown prompt"
-    assert engine.pool.free_pages == 7
+    assert engine.pool.free_pages == free_at_init  # no page leak
     for req, prompt in zip(reqs, prompts):
         assert req.generated == _reference(model, params, prompt, 8), \
             (req.generated,)

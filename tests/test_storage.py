@@ -176,3 +176,124 @@ def test_smart_open_s3_write_rejected(fake_s3):
 
     with pytest.raises(NotImplementedError):
         smart_open("s3://bkt/x", "wb")
+
+
+# ---------------------------------------------------------------------------
+# Loopback WIRE tests (VERDICT r4 #8): the stdlib SigV4 client path in
+# storage.py talks real HTTP to an in-process S3-compatible server that
+# independently re-derives every request's signature from the wire data.
+# A malformed canonical request, unsigned session token, broken
+# pagination, or mis-encoded path fails these the way a real store would.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def wire_s3(monkeypatch):
+    from tests.loopback_s3 import LoopbackS3Server
+
+    store = {}
+    srv = LoopbackS3Server(store, "AKWIRE", "wire-secret",
+                           session_token="tok-123")
+    with srv:
+        # force the stdlib branch even if boto3 ever appears in the env
+        monkeypatch.setitem(sys.modules, "boto3", None)
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKWIRE")
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "wire-secret")
+        monkeypatch.setenv("AWS_SESSION_TOKEN", "tok-123")
+        monkeypatch.setenv("AWS_ENDPOINT_URL", srv.endpoint_url)
+        from merlin_tpu.data import storage
+        storage._CLIENT_CACHE.clear()
+        yield store, srv
+        storage._CLIENT_CACHE.clear()
+
+
+def test_wire_get_object_bytes_and_text(wire_s3):
+    from merlin_tpu.data.storage import smart_open
+
+    store, srv = wire_s3
+    store[("bkt", "dir/a.json")] = b'{"x": 1}'
+    with smart_open("s3://bkt/dir/a.json", "rb") as f:
+        assert f.read() == b'{"x": 1}'
+    with smart_open("s3://bkt/dir/a.json", "r") as f:
+        assert f.read() == '{"x": 1}'
+    assert ("GET", "/bkt/dir/a.json", {}) in [
+        (m, p, q) for m, p, q in srv.requests]
+
+
+def test_wire_tar_streaming(wire_s3):
+    from merlin_tpu.data.storage import smart_open
+
+    store, _ = wire_s3
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w") as tf:
+        for name, data in [("0.txt", b"alpha"), ("1.jpg", b"\xff\xd8beta")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    store[("bkt", "shards/000.tar")] = bio.getvalue()
+
+    with smart_open("s3://bkt/shards/000.tar", "rb") as f:
+        with tarfile.open(fileobj=f, mode="r|*") as tf:
+            members = {m.name: tf.extractfile(m).read() for m in tf}
+    assert members == {"0.txt": b"alpha", "1.jpg": b"\xff\xd8beta"}
+
+
+def test_wire_list_keys_glob_pagination(wire_s3):
+    from merlin_tpu.data.storage import list_keys
+
+    store, srv = wire_s3
+    for i in range(5):  # 5 keys, server pages 2 at a time -> 3 pages
+        store[("bkt", f"laion/{i:05d}.tar")] = b"x"
+    store[("bkt", "laion/readme.md")] = b"no"
+    store[("bkt", "laion/sub/9.tar")] = b"no"  # '*' must not cross '/'
+    got = list_keys("s3://bkt/laion/*.tar")
+    assert got == [f"s3://bkt/laion/{i:05d}.tar" for i in range(5)]
+    lists = [q for m, p, q in srv.requests if q.get("list-type") == "2"]
+    assert len(lists) >= 3, "pagination did not happen on the wire"
+    assert all(q.get("prefix") == "laion/" for q in lists)
+
+
+def test_wire_bad_secret_rejected(wire_s3, monkeypatch):
+    from merlin_tpu.data import storage
+
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "WRONG")
+    storage._CLIENT_CACHE.clear()
+    store, _ = wire_s3
+    store[("bkt", "k")] = b"data"
+    with pytest.raises(OSError, match="403"):
+        storage.smart_open("s3://bkt/k", "rb")
+
+
+def test_wire_unsigned_session_token_rejected(wire_s3):
+    """The server demands the session token be SIGNED — a client that
+    sends it unsigned (or not at all) must be rejected."""
+    from merlin_tpu.data.s3http import S3HttpClient
+
+    store, srv = wire_s3
+    store[("bkt", "k")] = b"data"
+    no_token = S3HttpClient("AKWIRE", "wire-secret",
+                            endpoint_url=srv.endpoint_url)
+    with pytest.raises(OSError, match="403"):
+        no_token.get_object(Bucket="bkt", Key="k")
+
+
+def test_wire_ranged_get(wire_s3):
+    from merlin_tpu.data.storage import _s3_client
+
+    store, _ = wire_s3
+    store[("bkt", "k")] = b"0123456789"
+    resp = _s3_client().get_object(Bucket="bkt", Key="k",
+                                   Range="bytes=3-6")
+    assert resp["Body"].read() == b"3456"
+    resp["Body"].close()
+
+
+def test_wire_special_chars_in_key(wire_s3):
+    """Keys with spaces/'+' exercise path URI-encoding consistency between
+    the request line and the signed canonical request."""
+    from merlin_tpu.data.storage import smart_open
+
+    store, _ = wire_s3
+    store[("bkt", "dir name/a+b c.txt")] = b"enc"
+    with smart_open("s3://bkt/dir name/a+b c.txt", "rb") as f:
+        assert f.read() == b"enc"
