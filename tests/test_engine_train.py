@@ -29,6 +29,7 @@ def _make_pair_shard(path, n=32):
             tf.addfile(info, io.BytesIO(txt))
 
 
+@pytest.mark.slow
 def test_train_entry_end_to_end(tmp_path):
     from merlin_tpu.data import registry
     from merlin_tpu.engine.train import train

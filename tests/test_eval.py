@@ -146,6 +146,7 @@ def test_eval_model_ask_smoke():
     assert prompt.endswith("ASSISTANT:")
 
 
+@pytest.mark.slow
 def test_eval_model_speculative_matches_plain():
     """EvalConfig(speculative=K) answers EXACTLY like the plain greedy
     path — with and without an image."""

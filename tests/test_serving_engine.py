@@ -375,6 +375,7 @@ def test_engine_close_releases_buffers(model_params):
     engine.close()  # idempotent
 
 
+@pytest.mark.slow
 def test_engine_tensor_sharded_matches_single(model_params):
     """TP serving: params sharded by the logical rules, the paged pool's
     head-packed lane dim sharded over 'tensor', the decoder's paged token

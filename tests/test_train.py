@@ -48,6 +48,7 @@ def _fake_batch(bundle, b=4, s=24, n_img=1, seed=0):
         images=rng.integers(0, 255, size=(b, n_img, 16, 16, 3)).astype(np.uint8))
 
 
+@pytest.mark.slow
 def test_train_step_loss_decreases(eight_devices):
     bundle, targs = _bundle()
     mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2),
@@ -120,6 +121,7 @@ def test_projector_trains_when_rest_frozen(eight_devices):
         state.params["projector"]["conv"]["kernel"]) - before).max() > 0
 
 
+@pytest.mark.slow
 def test_structural_freeze_matches_optax_freeze(eight_devices):
     """stop_gradient freezing (skips the frozen backward entirely) must
     produce bit-identical updates to optax-only set_to_zero freezing:
