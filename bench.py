@@ -145,7 +145,7 @@ def bench_vit_encode(frames: int = 16, windows: int = 4, runs: int = 4,
     for w in range(windows):
         if w:
             time.sleep(gap_s)
-        cal = bench_calibration(iters=2) if with_cal else None
+        cal = bench_calibration() if with_cal else None
         t0 = time.perf_counter()
         for _ in range(runs):
             out = encode(params, raw)
@@ -410,22 +410,58 @@ def bench_train_multimodal(remat: bool = True, batch: int = 4,
     return B * S / dt, mfu
 
 
-def bench_calibration(iters: int = 5):
-    """Chip speed reference: bf16 8192^3 matmul TF/s. The tunnel'd chip
-    throttles PER-MINUTE (observed 33-126 TF/s across sessions) — sampled
-    adjacent to every bench row so each number carries its own
-    throttle-state context (VERDICT r4 #5)."""
+_CAL_CHAINS: dict = {}
+
+
+def _cal_chain(n: int):
+    """n 8192^3 bf16 matmuls chained inside ONE jit (data-dependent so
+    nothing reorders or elides). Cached per n: a fresh closure per call
+    would recompile every time."""
+    fn = _CAL_CHAINS.get(n)
+    if fn is None:
+        @jax.jit
+        def fn(a):
+            def body(i, a):
+                y = a @ a
+                return a + y * 1e-30  # negligible feedback keeps the chain
+            return jax.lax.fori_loop(0, n, body, a)
+
+        _CAL_CHAINS[n] = fn
+    return fn
+
+
+def bench_calibration(iters: int = 5, samples: int = 3):
+    """TRUE chip clock: bf16 8192^3 matmul TF/s by a two-length chained
+    measurement — time a jit of 4*iters chained matmuls and a jit of
+    iters, and divide the extra FLOPs by the time DIFFERENCE, so both
+    dispatch (~0.35 ms) and the sync round-trip (~45 ms, varies with the
+    tunnel) cancel exactly.
+
+    The r2-r4 'dispatch-style' calibration (5 dispatched matmuls + one
+    sync in the wall time) conflated chip clock with network RTT: at a
+    true ~131 TF/s it read 67-77, and its 59.9-126 'throttle range' was
+    largely tunnel weather (r5 finding, tools/vit_ab_probe.py — the ViT
+    encode fps, 98% MXU work, held ±1% while dispatch-cal wobbled ±15%).
+    Sampled adjacent to every bench row (VERDICT r4 #5)."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
-    mm = jax.jit(lambda a: a @ a)
-    r = mm(x)
-    float(r.astype(jnp.float32).sum())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = mm(x)
-    float(r.astype(jnp.float32).sum())
-    dt = (time.perf_counter() - t0) / iters
-    return 2 * 8192 ** 3 / dt / 1e12
+    short, long_ = _cal_chain(iters), _cal_chain(4 * iters)
+    for fn in (short, long_):  # compile + warm
+        float(fn(x).astype(jnp.float32).sum())
+    tfs = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        float(short(x).astype(jnp.float32).sum())
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(long_(x).astype(jnp.float32).sum())
+        t_long = time.perf_counter() - t0
+        if t_long > t_short:
+            tfs.append(3 * iters * 2 * 8192 ** 3 / (t_long - t_short) / 1e12)
+    if not tfs:
+        return float("nan")
+    tfs.sort()
+    return tfs[len(tfs) // 2]
 
 
 def _run_with_deadline(fn, seconds: float):
@@ -996,6 +1032,9 @@ def main():
             bench_serving_7b(cache_dtype=jnp.int8, num_slots=8,
                              weight_q8=True, spec_draft=4,
                              prefill_chunk=128, prefill_chunk_min=512))),
+        # re-time ViT late in the run (keep the best window seen)
+        ("vit_retime",
+         lambda: update_vit(bench_vit_encode(windows=4, gap_s=20.0))),
         # 7B bf16 + engine speculative: the r3 gate rested on the XLA
         # weight-relayout cliff, which the r5 32-layer layout probe could
         # NOT reproduce (temp 0.0 GB at s_q=8, scan and no-scan) — this
@@ -1010,7 +1049,9 @@ def main():
         # admitted while short interactive requests decode — the design
         # point where chunked admission bounds the decode stall a
         # monolithic prefill causes. Reference prefill is one monolithic
-        # forward (base_mmgpt.py:82-160).
+        # forward (base_mmgpt.py:82-160). LAST: two engine builds with
+        # several kilotoken prefill compiles — a driver timeout here must
+        # not starve anything above.
         ("serving_longprompt", lambda: (lambda r: details.update(
             serving_longprompt_chunked_p50_ttft_ms=round(
                 r["chunked"]["long_p50_ttft_ms"], 1),
@@ -1025,13 +1066,10 @@ def main():
             serving_longprompt_whole_tokens_per_sec=round(
                 r["whole"]["tokens_per_sec"], 1)))(
             bench_serving_longprompt())),
-        # re-time ViT at the end of the run (keep the best window seen)
-        ("vit_retime",
-         lambda: update_vit(bench_vit_encode(windows=4, gap_s=20.0))),
     ]:
         # per-row calibration (VERDICT r4 #5): the chip throttles
         # per-minute, so each row records the clock it actually ran at
-        c = _run_with_deadline(lambda: bench_calibration(iters=3), 120.0)
+        c = _run_with_deadline(bench_calibration, 150.0)
         if c is not None:
             row_cals[name] = round(c, 1)
         try:

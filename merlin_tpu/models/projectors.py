@@ -27,15 +27,21 @@ from merlin_tpu.ops.attention import mha_reference
 
 
 class StridedConv(nn.Module):
-    """2D conv as im2col strided slices + ONE matmul.
+    """2D conv lowered as matmuls (MXU) instead of lax.conv.
 
     XLA lowers the projector's 3x3/stride-2 conv to ~33 TF/s on TPU v5e
-    (measured inside the full ViT encode jit); the same contraction as a
-    (b*out_hw, kh*kw*cin) @ (kh*kw*cin, cout) matmul runs at MXU matmul
-    speed — a 6.5 ms/batch-of-16 win on the encode hot path. Parameter
-    layout is IDENTICAL to ``nn.Conv`` (``kernel`` (kh, kw, cin, cout) +
-    optional ``bias``), so checkpoints and the torch converters are
-    unaffected.
+    (measured inside the full ViT encode jit); the same contraction as
+    matmuls runs at MXU speed. Two matmul lowerings:
+
+      * ``im2col`` (r3): 9 strided slices concatenated into a
+        (b*out_hw, kh*kw*cin) cols tensor, ONE matmul.
+      * ``taps`` (r5): one (b*out_hw, cin) @ (cin, cout) matmul PER TAP,
+        accumulated — no 9x-duplicated cols intermediate, so no big
+        concat buffer between the slices and the MXU.
+
+    Parameter layout is IDENTICAL to ``nn.Conv`` (``kernel``
+    (kh, kw, cin, cout) + optional ``bias``), so checkpoints and the
+    torch converters are unaffected.
     """
 
     features: int
@@ -44,6 +50,7 @@ class StridedConv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    lowering: str = "im2col"  # im2col | taps | xla
 
     @nn.compact
     def __call__(self, x):  # (b, H, W, cin) -> (b, out_h, out_w, features)
@@ -59,20 +66,38 @@ class StridedConv(nn.Module):
                 ("conv_hw", "conv_hw", "conv_in", "conv_out")),
             (kh, kw, cin, self.features), jnp.float32)
         x = x.astype(self.dtype)
-        if self.padding:
-            x = jnp.pad(x, ((0, 0), (self.padding,) * 2,
-                            (self.padding,) * 2, (0, 0)))
-        # tap (dh, dw) contributes lanes [((dh*kw)+dw)*cin, ...): the same
-        # row-major order kernel.reshape(kh*kw*cin, features) flattens to
-        cols = jnp.concatenate([
-            jax.lax.slice(
+        kern = kernel.astype(self.dtype)
+        if self.lowering == "xla":  # reference lowering (A/B probes)
+            out = jax.lax.conv_general_dilated(
+                x, kern, (s, s), [(self.padding,) * 2] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+            out = out.reshape(b * out_h * out_w, self.features)
+        else:
+            if self.padding:
+                x = jnp.pad(x, ((0, 0), (self.padding,) * 2,
+                                (self.padding,) * 2, (0, 0)))
+            tap = lambda dh, dw: jax.lax.slice(
                 x, (0, dh, dw, 0),
                 (b, dh + (out_h - 1) * s + 1, dw + (out_w - 1) * s + 1, cin),
                 (1, s, s, 1))
-            for dh in range(kh) for dw in range(kw)], axis=-1)
-        out = jnp.dot(cols.reshape(b * out_h * out_w, kh * kw * cin),
-                      kernel.reshape(kh * kw * cin, self.features)
-                      .astype(self.dtype))
+            if self.lowering == "taps":
+                out = None
+                for dh in range(kh):
+                    for dw in range(kw):
+                        part = jnp.dot(
+                            tap(dh, dw).reshape(b * out_h * out_w, cin),
+                            kern[dh, dw])
+                        out = part if out is None else out + part
+            else:  # im2col: tap (dh, dw) contributes lanes
+                # [((dh*kw)+dw)*cin, ...) — the row-major order
+                # kernel.reshape(kh*kw*cin, features) flattens to
+                cols = jnp.concatenate(
+                    [tap(dh, dw) for dh in range(kh) for dw in range(kw)],
+                    axis=-1)
+                out = jnp.dot(
+                    cols.reshape(b * out_h * out_w, kh * kw * cin),
+                    kern.reshape(kh * kw * cin, self.features))
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -100,6 +125,7 @@ class ConvProjector(nn.Module):
     out_features: int
     conv_stride: int = 2
     dtype: Any = jnp.bfloat16
+    lowering: str = "im2col"  # see StridedConv
 
     @nn.compact
     def __call__(self, x):
@@ -111,7 +137,7 @@ class ConvProjector(nn.Module):
         out = StridedConv(
             self.out_features, kernel_size=(3, 3), stride=self.conv_stride,
             padding=1, use_bias=True, dtype=self.dtype,
-            name="conv")(grid.astype(self.dtype))
+            lowering=self.lowering, name="conv")(grid.astype(self.dtype))
         return out.reshape(b, -1, self.out_features)
 
 

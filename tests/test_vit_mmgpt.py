@@ -80,19 +80,24 @@ def test_strided_conv_matches_nn_conv():
     from merlin_tpu.models.projectors import StridedConv
 
     rng = np.random.default_rng(3)
-    for (H, W, cin, cout, k, s) in [(8, 8, 16, 24, 3, 2), (7, 7, 8, 8, 3, 1),
-                                    (6, 6, 4, 12, 3, 3)]:
-        x = jnp.asarray(rng.normal(size=(2, H, W, cin)), jnp.float32)
-        mine = StridedConv(cout, kernel_size=(k, k), stride=s, padding=1,
-                           use_bias=True, dtype=jnp.float32)
-        vars_ = nn.unbox(mine.init(jax.random.key(0), x))
-        ref = nn.Conv(cout, (k, k), strides=(s, s), padding=((1, 1), (1, 1)),
-                      use_bias=True, dtype=jnp.float32,
-                      param_dtype=jnp.float32)
-        got = mine.apply(vars_, x)
-        want = ref.apply(vars_, x)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5)
+    for lowering in ("im2col", "taps", "xla"):
+        for (H, W, cin, cout, k, s) in [(8, 8, 16, 24, 3, 2),
+                                        (7, 7, 8, 8, 3, 1),
+                                        (6, 6, 4, 12, 3, 3)]:
+            x = jnp.asarray(rng.normal(size=(2, H, W, cin)), jnp.float32)
+            mine = StridedConv(cout, kernel_size=(k, k), stride=s, padding=1,
+                               use_bias=True, dtype=jnp.float32,
+                               lowering=lowering)
+            vars_ = nn.unbox(mine.init(jax.random.key(0), x))
+            ref = nn.Conv(cout, (k, k), strides=(s, s),
+                          padding=((1, 1), (1, 1)),
+                          use_bias=True, dtype=jnp.float32,
+                          param_dtype=jnp.float32)
+            got = mine.apply(vars_, x)
+            want = ref.apply(vars_, x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=lowering)
 
 
 def test_strided_conv_grad_matches_nn_conv():
@@ -103,19 +108,24 @@ def test_strided_conv_grad_matches_nn_conv():
 
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)), jnp.float32)
-    mine = StridedConv(10, kernel_size=(3, 3), stride=2, padding=1,
-                       use_bias=True, dtype=jnp.float32)
-    vars_ = nn.unbox(mine.init(jax.random.key(0), x))
     ref = nn.Conv(10, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                   use_bias=True, dtype=jnp.float32, param_dtype=jnp.float32)
 
     def loss(fn, v, x):
         return jnp.sum(jnp.sin(fn.apply(v, x)))
 
-    gm_v, gm_x = jax.grad(lambda v, x: loss(mine, v, x), argnums=(0, 1))(
-        vars_, x)
-    gr_v, gr_x = jax.grad(lambda v, x: loss(ref, v, x), argnums=(0, 1))(
-        vars_, x)
+    gr_v = gr_x = gm_v = gm_x = None
+    for lowering in ("im2col", "taps"):
+        mine = StridedConv(10, kernel_size=(3, 3), stride=2, padding=1,
+                           use_bias=True, dtype=jnp.float32,
+                           lowering=lowering)
+        vars_ = nn.unbox(mine.init(jax.random.key(0), x))
+        gm_v, gm_x = jax.grad(lambda v, x: loss(mine, v, x),
+                              argnums=(0, 1))(vars_, x)
+        gr_v, gr_x = jax.grad(lambda v, x: loss(ref, v, x),
+                              argnums=(0, 1))(vars_, x)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5), gm_v, gr_v)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5), gm_v, gr_v)
     np.testing.assert_allclose(np.asarray(gm_x), np.asarray(gr_x),

@@ -69,6 +69,13 @@ def build_encoders(frames: int):
             feats = CLIPVisionTower(clip_vit_l14(448), name="tower")(pixels)
             return ConvProjector(4096, conv_stride=2, name="proj")(feats)
 
+    class Taps(nn.Module):
+        @nn.compact
+        def __call__(self, pixels):
+            feats = CLIPVisionTower(clip_vit_l14(448), name="tower")(pixels)
+            return ConvProjector(4096, conv_stride=2, lowering="taps",
+                                 name="proj")(feats)
+
     class XLAConv(nn.Module):
         @nn.compact
         def __call__(self, pixels):
@@ -84,8 +91,8 @@ def build_encoders(frames: int):
         0, 255, size=(frames, 448, 448, 3)).astype(np.uint8)
     raw = jnp.asarray(frames_u8)
     encoders = {}
-    for kind, cls in [("strided", Strided), ("xlaconv", XLAConv),
-                      ("tower", TowerOnly)]:
+    for kind, cls in [("strided", Strided), ("taps", Taps),
+                      ("xlaconv", XLAConv), ("tower", TowerOnly)]:
         model = cls()
         params = materialize_params(
             model, jnp.asarray(frames_u8, jnp.bfloat16))
@@ -103,19 +110,14 @@ def build_encoders(frames: int):
 
 
 def make_cal():
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((8192, 8192)), jnp.bfloat16)
-    mm = jax.jit(lambda a: a @ a)
-    float(mm(x).astype(jnp.float32).sum())
+    """bench.bench_calibration: the two-length chained measurement that
+    cancels dispatch + sync RTT (this probe's first run exposed the old
+    dispatch-style calibration as RTT-dominated — it read 67-77 TF/s
+    while the tower was demonstrably running at ~131 TF/s effective)."""
+    from bench import bench_calibration
 
-    def cal(iters: int = 3) -> float:
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = mm(x)
-        float(r.astype(jnp.float32).sum())
-        return 2 * 8192 ** 3 / ((time.perf_counter() - t0) / iters) / 1e12
-
-    return cal
+    bench_calibration(samples=1)  # compile both chain lengths
+    return bench_calibration
 
 
 def main():
@@ -148,7 +150,7 @@ def main():
 
     # summary: per-kind best/median + per-cycle a-vs-b delta + fps/cal fit
     summary = {}
-    for kind in ("strided", "xlaconv", "tower"):
+    for kind in ("strided", "taps", "xlaconv", "tower"):
         fps = sorted(r["fps"] for r in rows if r["kind"] == kind)
         summary[kind] = dict(best=fps[-1], median=fps[len(fps) // 2])
     deltas = []
@@ -162,7 +164,7 @@ def main():
     s_rows = [r for r in rows if r["kind"] == "strided"]
     xs = np.array([r["cal_tflops"] for r in s_rows], np.float64)
     ys = np.array([r["fps"] for r in s_rows], np.float64)
-    if len(xs) >= 2 and xs.ptp() > 1.0:
+    if len(xs) >= 2 and np.ptp(xs) > 1.0:
         m, b = np.polyfit(xs, ys, 1)
         pred126 = m * 126.0 + b
         pred101 = m * 101.0 + b
