@@ -90,22 +90,37 @@ def main():
     flops = 2 * B * OH * OW * 9 * CIN * COUT
 
     def timed(name, fn, feed, fl):
-        @jax.jit
-        def chain(a):
-            def body(i, a):
-                out = fn(a)
-                # fold a whiff of the output back in: keeps the chain
-                # data-dependent without changing magnitudes
-                upd = (out.reshape(-1)[:1] * 1e-24).astype(a.dtype)
-                return a + upd
-            return jax.lax.fori_loop(0, args.iters, body, a)
+        def chain_of(n):
+            @jax.jit
+            def chain(a):
+                def body(i, a):
+                    out = fn(a)
+                    # fold the output MEAN back in: a single-element feed
+                    # lets XLA dead-code-eliminate all but one row of a
+                    # pure matmul (observed: the 'matmul' floor row read
+                    # 3.9 PF/s); the mean consumes every element
+                    upd = (out.astype(jnp.float32).mean()
+                           * 1e-24).astype(a.dtype)
+                    return a + upd
+                return jax.lax.fori_loop(0, n, body, a)
+            return chain
 
-        r = chain(feed)
-        float(r.astype(jnp.float32).sum())  # compile+sync
-        t0 = time.perf_counter()
-        r = chain(feed)
-        float(r.astype(jnp.float32).sum())
-        dt = (time.perf_counter() - t0) / args.iters
+        # two-length measurement: the ~45 ms tunnel sync and dispatch
+        # cancel in the time DIFFERENCE (same trick as bench_calibration)
+        short, long_ = chain_of(args.iters), chain_of(4 * args.iters)
+        for c in (short, long_):
+            float(c(feed).astype(jnp.float32).sum())  # compile+sync
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(short(feed).astype(jnp.float32).sum())
+            t_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(long_(feed).astype(jnp.float32).sum())
+            t_l = time.perf_counter() - t0
+            if t_l > t_s:
+                dts.append((t_l - t_s) / (3 * args.iters))
+        dt = sorted(dts)[len(dts) // 2] if dts else float("nan")
         print(f"{name:9s}: {dt * 1e3:7.3f} ms/iter  "
               f"{fl / dt / 1e12:6.1f} TF/s", flush=True)
         return dt
