@@ -104,7 +104,8 @@ def bench_decode():
 
 
 def bench_vit_encode(frames: int = 16, windows: int = 4, runs: int = 4,
-                     gap_s: float = 10.0, with_cal: bool = True):
+                     gap_s: float = 10.0, with_cal: bool = True,
+                     lowering: str = "xla"):
     """Multi-frame CLIP ViT-L/14-448 encode + conv projector (the interpair
     video hot path). Each window is RTT-cancelled (two-length timing, see
     inline comment) and paired with a chained calibration sample taken
@@ -125,7 +126,8 @@ def bench_vit_encode(frames: int = 16, windows: int = 4, runs: int = 4,
         @nn.compact
         def __call__(self, pixels):
             feats = CLIPVisionTower(clip_vit_l14(448), name="tower")(pixels)
-            return ConvProjector(4096, conv_stride=2, name="proj")(feats)
+            return ConvProjector(4096, conv_stride=2, lowering=lowering,
+                                 name="proj")(feats)
 
     model = TowerProj()
     frames_u8 = np.random.default_rng(0).integers(

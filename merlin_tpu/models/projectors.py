@@ -27,17 +27,22 @@ from merlin_tpu.ops.attention import mha_reference
 
 
 class StridedConv(nn.Module):
-    """2D conv lowered as matmuls (MXU) instead of lax.conv.
+    """2D conv with selectable lowering; default is plain ``lax.conv``.
 
-    XLA lowers the projector's 3x3/stride-2 conv to ~33 TF/s on TPU v5e
-    (measured inside the full ViT encode jit); the same contraction as
-    matmuls runs at MXU speed. Two matmul lowerings:
+    HISTORY (r5 correction): the r3 measurement that launched the matmul
+    lowerings — "XLA lowers the 3x3/s2 conv at ~33 TF/s" — was polluted
+    by the remote tunnel's ~45 ms sync RTT. RTT-immune chained timing
+    (tools/proj_probe.py, two-length trick) shows XLA's own conv runs at
+    182 TF/s, within 4% of the pure-matmul floor (189.5), and BEATS both
+    matmul lowerings (xla 1.70 ms vs im2col 2.17 / taps 2.39 at the
+    projector shape); the end-to-end encode A/B agrees (+1-2 fps for
+    xla). The matmul lowerings are kept for A/B probes and as a hedge
+    for shapes XLA might mis-lower:
 
       * ``im2col`` (r3): 9 strided slices concatenated into a
         (b*out_hw, kh*kw*cin) cols tensor, ONE matmul.
       * ``taps`` (r5): one (b*out_hw, cin) @ (cin, cout) matmul PER TAP,
-        accumulated — no 9x-duplicated cols intermediate, so no big
-        concat buffer between the slices and the MXU.
+        accumulated — no 9x-duplicated cols intermediate.
 
     Parameter layout is IDENTICAL to ``nn.Conv`` (``kernel``
     (kh, kw, cin, cout) + optional ``bias``), so checkpoints and the
@@ -50,7 +55,7 @@ class StridedConv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
-    lowering: str = "im2col"  # im2col | taps | xla
+    lowering: str = "xla"  # xla | im2col | taps
 
     @nn.compact
     def __call__(self, x):  # (b, H, W, cin) -> (b, out_h, out_w, features)
@@ -125,7 +130,7 @@ class ConvProjector(nn.Module):
     out_features: int
     conv_stride: int = 2
     dtype: Any = jnp.bfloat16
-    lowering: str = "im2col"  # see StridedConv
+    lowering: str = "xla"  # see StridedConv
 
     @nn.compact
     def __call__(self, x):

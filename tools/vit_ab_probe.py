@@ -18,6 +18,14 @@ state, so a/b is a true A/B; across cycles the cal samples give the
 fps-vs-clock relation that decides whether calibration can normalize fps
 at all.
 
+RESOLVED (r5): the answer was (3) — neither. The fps measurement itself
+carried one ~49 ms tunnel sync per window (~12% of a 4-run window) and
+the dispatch-style calibration was RTT-dominated; with both made
+RTT-immune (two-length chained timing) the chip shows NO meaningful
+throttle (chained cal 165-171 TF/s all session) and encode fps agree to
+~±0.5% across windows. The r2->r4 "regression" and the r3 StridedConv
+"win" were both tunnel weather.
+
 Run ON TPU:  python tools/vit_ab_probe.py [--cycles 6] [--gap 15]
 Emits one JSON line per window and a summary; paste into BENCHMARKS.md.
 
@@ -138,11 +146,22 @@ def main():
             time.sleep(args.gap)
         for kind, (encode, params) in encoders.items():
             c = cal()
-            t0 = time.perf_counter()
-            for _ in range(args.runs):
-                out = encode(params, raw)
-            float(out)
-            fps = args.frames / ((time.perf_counter() - t0) / args.runs)
+
+            def timed(n):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    out = encode(params, raw)
+                float(out)
+                return time.perf_counter() - t0
+
+            # RTT-cancelling two-length window (see bench.bench_vit_encode):
+            # the single ~45-49 ms tunnel sync per window was ~12% of a
+            # 4-run window and under-reported every r2-r4 fps number
+            t_short = timed(args.runs)
+            t_long = timed(4 * args.runs)
+            if t_long <= t_short:
+                continue
+            fps = args.frames * 3 * args.runs / (t_long - t_short)
             row = dict(cycle=cyc, kind=kind, fps=round(fps, 1),
                        cal_tflops=round(c, 1))
             rows.append(row)
