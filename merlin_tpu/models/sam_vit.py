@@ -177,10 +177,10 @@ class SAMImageEncoder(nn.Module):
     @nn.compact
     def __call__(self, pixel_values):
         cfg = self.cfg
-        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-                    dtype=cfg.dtype, param_dtype=jnp.float32,
-                    name="patch_embed")(pixel_values.astype(cfg.dtype))
+        from merlin_tpu.models.vit import PatchEmbed
+        x = PatchEmbed(cfg.embed_dim, cfg.patch_size, use_bias=True,
+                       dtype=cfg.dtype,
+                       name="patch_embed")(pixel_values)
         pos = self.param(
             "pos_embed", nn.with_logical_partitioning(
                 nn.initializers.zeros, (None, "vit_patches", "vit_patches",

@@ -90,6 +90,50 @@ def tiny_vit(**kw) -> ViTConfig:
     return ViTConfig(**defaults)
 
 
+class PatchEmbed(nn.Module):
+    """Patchify as space-to-depth + ONE matmul.
+
+    With stride == kernel size the patch conv is a pure relayout of
+    non-overlapping windows followed by a dense projection; the matmul
+    path measures 1.03 ms vs 1.31 ms for XLA's conv at the 16-frame 448
+    encode shape (RTT-immune chained probe, r5). The param tree is
+    IDENTICAL to the ``nn.Conv(name="patch_embed")`` this replaces —
+    ``patch_embed/kernel`` in HWIO (p, p, cin, hidden) — and the cols
+    flatten in the same (dh, dw, cin) row-major order the kernel
+    reshape uses, so checkpoints and the torch converters (vit.py
+    clip/metaclip/qwen loaders) are unaffected."""
+
+    features: int
+    patch: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pixels):  # (b, H, W, cin) -> (b, gh, gw, features)
+        b, H, W, cin = pixels.shape
+        p = self.patch
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(
+                nn.initializers.lecun_normal(),
+                ("conv_hw", "conv_hw", "conv_in", "vit_embed")),
+            (p, p, cin, self.features), jnp.float32)
+        g_h, g_w = H // p, W // p
+        t = pixels.astype(self.dtype).reshape(
+            b, g_h, p, g_w, p, cin).transpose(0, 1, 3, 2, 4, 5)
+        out = jnp.dot(
+            t.reshape(b * g_h * g_w, p * p * cin),
+            kernel.astype(self.dtype).reshape(p * p * cin, self.features))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros_init(), ("vit_embed",)),
+                (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out.reshape(b, g_h, g_w, self.features)
+
+
 class ViTBlock(nn.Module):
     cfg: ViTConfig
 
@@ -134,14 +178,9 @@ class ViT(nn.Module):
     def __call__(self, pixel_values) -> List[jax.Array]:
         cfg = self.cfg
         b = pixel_values.shape[0]
-        x = nn.Conv(
-            cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-            use_bias=False, dtype=cfg.dtype, param_dtype=jnp.float32,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.lecun_normal(),
-                ("conv_hw", "conv_hw", "conv_in", "vit_embed")),
-            name="patch_embed")(pixel_values.astype(cfg.dtype))
+        x = PatchEmbed(cfg.hidden_size, cfg.patch_size,
+                       dtype=cfg.dtype, name="patch_embed")(
+            pixel_values)
         x = x.reshape(b, -1, cfg.hidden_size)  # (b, P, C)
 
         if cfg.use_class_token:

@@ -45,32 +45,41 @@ def main():
     from merlin_tpu.ops.image_ops import preprocess_images
     from bench import bench_calibration, materialize_params
 
-    stock_call = vit.ViTBlock.__call__
+    stock_block = vit.ViTBlock
 
-    def fused_call(self, x):
-        cfg = self.cfg
-        h, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
-        res = x
-        x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype,
-                      name="norm1")(x)
-        qkv = DenseGeneral((3, h, d),
-                           kernel_axes=("vit_embed", "unmodeled",
-                                        "vit_heads", "kv"),
-                           use_bias=True, dtype=cfg.dtype,
-                           name="qkv_proj")(x)
-        q, k, v = (qkv[..., i, :, :] for i in range(3))
-        attn = vit.shared_attention(q, k, v, causal=False)
-        attn = DenseGeneral((cfg.hidden_size,), axis=(-2, -1),
-                            kernel_axes=("vit_heads", "kv", "vit_embed"),
-                            use_bias=True, dtype=cfg.dtype,
-                            name="o_proj")(attn)
-        x = res + attn
-        res = x
-        x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype,
-                      name="norm2")(x)
-        x = SimpleMLP(cfg.intermediate_size, activation=cfg.activation,
-                      dtype=cfg.dtype, name="mlp")(x)
-        return res + x
+    class FusedViTBlock(nn.Module):
+        cfg: vit.ViTConfig
+
+        @nn.compact
+        def __call__(self, x):
+            cfg = self.cfg
+            h, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+            res = x
+            x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype,
+                          name="norm1")(x)
+            # flat 3*h*d output, q/k/v as STATIC LANE SLICES (a (3,h,d)
+            # output dim forces relayouts when the middle dim is sliced:
+            # measured 154.7-155.5 fps vs 177.6-178.2 stock)
+            w = cfg.hidden_size
+            qkv = DenseGeneral((3 * w,),
+                               kernel_axes=("vit_embed", "vit_heads"),
+                               use_bias=True, dtype=cfg.dtype,
+                               name="qkv_proj")(x)
+            b, s, _ = qkv.shape
+            q, k, v = (qkv[..., i * w:(i + 1) * w].reshape(b, s, h, d)
+                       for i in range(3))
+            attn = vit.shared_attention(q, k, v, causal=False)
+            attn = DenseGeneral((cfg.hidden_size,), axis=(-2, -1),
+                                kernel_axes=("vit_heads", "kv", "vit_embed"),
+                                use_bias=True, dtype=cfg.dtype,
+                                name="o_proj")(attn)
+            x = res + attn
+            res = x
+            x = LayerNorm(eps=cfg.layer_norm_eps, dtype=cfg.dtype,
+                          name="norm2")(x)
+            x = SimpleMLP(cfg.intermediate_size, activation=cfg.activation,
+                          dtype=cfg.dtype, name="mlp")(x)
+            return res + x
 
     class TowerProj(nn.Module):
         @nn.compact
@@ -84,22 +93,22 @@ def main():
     raw = jnp.asarray(frames_u8)
 
     encoders = {}
-    for kind, call in (("stock", stock_call), ("fused", fused_call)):
-        vit.ViTBlock.__call__ = call
+    for kind, block in (("stock", stock_block), ("fused", FusedViTBlock)):
+        vit.ViTBlock = block  # ViT.__call__ resolves the module global
         model = TowerProj()
         params = materialize_params(model, jnp.asarray(frames_u8,
                                                        jnp.bfloat16))
 
         @jax.jit
-        def encode(p, r, _m=model, _call=call):
-            vit.ViTBlock.__call__ = _call  # trace-time dispatch
+        def encode(p, r, _m=model, _block=block):
+            vit.ViTBlock = _block  # trace-time dispatch
             pixels = preprocess_images(r, image_size=448,
                                        aspect_mode="resize")
             return _m.apply({"params": p}, pixels.astype(jnp.bfloat16)).sum()
 
         float(encode(params, raw))  # compile
         encoders[kind] = (encode, params)
-    vit.ViTBlock.__call__ = stock_call
+    vit.ViTBlock = stock_block
 
     bench_calibration(samples=1)  # compile cal chains
     for cyc in range(args.cycles):
