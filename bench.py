@@ -105,7 +105,7 @@ def bench_decode():
 
 def bench_vit_encode(frames: int = 16, windows: int = 4, runs: int = 4,
                      gap_s: float = 10.0, with_cal: bool = True,
-                     lowering: str = "xla"):
+                     lowering: str = "taps"):
     """Multi-frame CLIP ViT-L/14-448 encode + conv projector (the interpair
     video hot path). Each window is RTT-cancelled (two-length timing, see
     inline comment) and paired with a chained calibration sample taken

@@ -27,22 +27,30 @@ from merlin_tpu.ops.attention import mha_reference
 
 
 class StridedConv(nn.Module):
-    """2D conv with selectable lowering; default is plain ``lax.conv``.
+    """2D conv with selectable lowering; default is ``taps``.
 
-    HISTORY (r5 correction): the r3 measurement that launched the matmul
-    lowerings — "XLA lowers the 3x3/s2 conv at ~33 TF/s" — was polluted
-    by the remote tunnel's ~45 ms sync RTT. RTT-immune chained timing
-    (tools/proj_probe.py, two-length trick) shows XLA's own conv runs at
-    182 TF/s, within 4% of the pure-matmul floor (189.5), and BEATS both
-    matmul lowerings (xla 1.70 ms vs im2col 2.17 / taps 2.39 at the
-    projector shape); the end-to-end encode A/B agrees (+1-2 fps for
-    xla). The matmul lowerings are kept for A/B probes and as a hedge
-    for shapes XLA might mis-lower:
+    HISTORY (r5, two corrections):
+      (1) the r3 measurement that launched the matmul lowerings — "XLA
+          lowers the 3x3/s2 conv at ~33 TF/s" — was polluted by the
+          remote tunnel's ~45 ms sync RTT. RTT-immune chained timing
+          (tools/proj_probe.py) shows XLA's conv runs at 182 TF/s
+          ISOLATED (1.70 ms vs im2col 2.17 / taps 2.39).
+      (2) isolated timings don't transfer: INSIDE the full encode jit
+          (tools/vit_ab_probe.py, RTT-cancelled, same process) the XLA
+          conv costs ~9 ms marginal — the tower-output layout forces a
+          relayout the isolated probe never pays — while ``taps`` fuses
+          its strided slices into the matmuls and costs ~2 ms, its FLOP
+          floor. End-to-end 16-frame 448 encode: taps 191-193.6 fps vs
+          xla/im2col 176-178, tower-only 197-198 (chained cal 164-171
+          TF/s on every window). Measure marginal costs inside the full
+          jit; isolated microbenches misattribute (r4-r5 lesson).
 
+    Lowerings:
+      * ``taps`` (default, r5): one (b*out_hw, cin) @ (cin, cout) matmul
+        PER TAP, accumulated — no 9x-duplicated cols intermediate.
       * ``im2col`` (r3): 9 strided slices concatenated into a
         (b*out_hw, kh*kw*cin) cols tensor, ONE matmul.
-      * ``taps`` (r5): one (b*out_hw, cin) @ (cin, cout) matmul PER TAP,
-        accumulated — no 9x-duplicated cols intermediate.
+      * ``xla``: plain lax.conv (reference lowering for A/B probes).
 
     Parameter layout is IDENTICAL to ``nn.Conv`` (``kernel``
     (kh, kw, cin, cout) + optional ``bias``), so checkpoints and the
@@ -55,7 +63,7 @@ class StridedConv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
-    lowering: str = "xla"  # xla | im2col | taps
+    lowering: str = "taps"  # taps | im2col | xla
 
     @nn.compact
     def __call__(self, x):  # (b, H, W, cin) -> (b, out_h, out_w, features)
@@ -130,7 +138,7 @@ class ConvProjector(nn.Module):
     out_features: int
     conv_stride: int = 2
     dtype: Any = jnp.bfloat16
-    lowering: str = "xla"  # see StridedConv
+    lowering: str = "taps"  # see StridedConv
 
     @nn.compact
     def __call__(self, x):
