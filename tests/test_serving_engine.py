@@ -57,18 +57,20 @@ def test_engine_matches_generator(model_params, chunk_steps):
         assert req.generated == expected, (prompt, req.generated, expected)
 
 
-@pytest.mark.parametrize("C", [8, 16])
-def test_engine_chunked_prefill_matches_generator(model_params, C):
+@pytest.mark.parametrize("C,wps", [(8, 4), (16, 4), (16, 1)])
+def test_engine_chunked_prefill_matches_generator(model_params, C, wps):
     """prefill_chunk=C admits prompts in (1, C) windows through the
     multi-token paged path straight into pool pages (no small cache, no
     insert scatter, one compiled prompt shape). Token-exact vs the plain
-    Generator, including ragged tails (plen % C != 0) and multi-window
-    prompts (plen > C)."""
+    Generator, including ragged tails (plen % C != 0), multi-window
+    prompts (plen > C), MULTI-PAGE windows (C=2*page_size — the bench's
+    longprompt row runs C=512 over 128-token pages), and the
+    stall-bounding one-window-per-step budget (wps=1)."""
     model, params = model_params
     engine = ServingEngine(model, params, num_slots=2, max_len=64,
                            eos_id=EOS, pad_id=PAD, prompt_bucket=16,
                            page_size=8, cache_dtype=jnp.float32,
-                           prefill_chunk=C)
+                           prefill_chunk=C, prefill_windows_per_step=wps)
     prompts = [[5, 17, 33, 41], [7, 9, 11], list(range(3, 3 + C + 5)),
                list(range(40, 40 + 2 * C))]
     reqs = [engine.submit(p, max_new_tokens=6) for p in prompts]
