@@ -479,6 +479,56 @@ def bench_calibration(iters: int = 5, samples: int = 3):
     return tfs[len(tfs) // 2]
 
 
+_HBM_CHAINS = {}
+
+
+def _hbm_chain(n: int):
+    """n full reads of a 1 GB bf16 array chained inside ONE jit: each
+    iteration reduces (x + carry*1e-30) so the scalar carry serializes
+    the reads and XLA cannot elide or batch them; broadcast+add+reduce
+    fuse, so traffic per iteration is one read of x. Cached per n."""
+    fn = _HBM_CHAINS.get(n)
+    if fn is None:
+        @jax.jit
+        def fn(x):
+            def body(i, s):
+                return (x + s * jnp.bfloat16(1e-30)).sum(
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+            return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0.0))
+
+        _HBM_CHAINS[n] = fn
+    return fn
+
+
+def bench_calibration_hbm(iters: int = 8, samples: int = 3):
+    """TRUE HBM read bandwidth (GB/s) by the same two-length chained
+    protocol as bench_calibration. Motivation (r5): decode and serving
+    are BANDWIDTH-bound — two full cascades measured decode 53.6 vs
+    50.5 tok/s at identical MXU calibration (170.4 vs 165.5 TF/s), so
+    the memory clock varies independently of the MXU clock and
+    bandwidth-bound rows need their own reference."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32768, 16384)), jnp.bfloat16)
+    nbytes = x.size * 2
+    short, long_ = _hbm_chain(iters), _hbm_chain(4 * iters)
+    for fn in (short, long_):
+        float(fn(x))
+    gbs = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        float(short(x))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(long_(x))
+        t_long = time.perf_counter() - t0
+        if t_long > t_short:
+            gbs.append(3 * iters * nbytes / (t_long - t_short) / 1e9)
+    if not gbs:
+        return float("nan")
+    gbs.sort()
+    return gbs[len(gbs) // 2]
+
+
 def _run_with_deadline(fn, seconds: float):
     """Run ``fn`` on a daemon thread; None if it exceeds the deadline or
     raises. Calibration runs BEFORE the primary JSON line prints, so a
@@ -948,6 +998,10 @@ def main():
         cal = round(cal, 1)
         details["calibration_matmul_tflops"] = cal
         flush()
+    hbm = _run_with_deadline(bench_calibration_hbm, 180.0)
+    if hbm is not None:
+        details["calibration_hbm_gbps"] = round(hbm, 1)
+        flush()
     # primary line FIRST: a driver-side timeout on the later (slower to
     # compile) sections must not lose the headline metric
     print(json.dumps({
@@ -1115,11 +1169,17 @@ def main():
                 r["whole"]["tokens_per_sec"], 1)))(
             bench_serving_longprompt())),
     ]:
-        # per-row calibration (VERDICT r4 #5): the chip throttles
-        # per-minute, so each row records the clock it actually ran at
+        # per-row calibration (VERDICT r4 #5): each row records the MXU
+        # clock AND the HBM bandwidth it actually ran at (they vary
+        # independently — r5 measured decode 53.6 vs 50.5 tok/s at
+        # identical MXU cal across two cascades)
         c = _run_with_deadline(bench_calibration, 150.0)
         if c is not None:
             row_cals[name] = round(c, 1)
+        h = _run_with_deadline(bench_calibration_hbm, 120.0)
+        if h is not None:
+            details.setdefault("calibration_hbm_per_row", {})[name] = \
+                round(h, 1)
         try:
             fn()
         except Exception as e:  # keep later sections robust
